@@ -1,0 +1,86 @@
+"""Frozen configuration dataclasses.
+
+The reference hardcodes these constants at every copy site
+(reference: src/body.py:41-46, src/hand.py:25-30, src/ISL_Model_parameter.py:64-69);
+here they live in one place.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseConfig:
+    """Body pose estimation config (reference: src/body.py:39-46)."""
+
+    model_type: str = "body25"          # 'body25' | 'coco'
+    scale_search: Tuple[float, ...] = (0.5,)
+    boxsize: int = 368
+    stride: int = 8
+    pad_value: int = 128
+    thre1: float = 0.1                  # peak threshold
+    thre2: float = 0.05                 # PAF sample threshold
+    max_peaks: int = 32                 # static K peaks per joint (device arrays)
+    mid_num: int = 10                   # PAF line-integral samples (src/body.py:130)
+    # reference multi-scale body averaging is buggy (src/body.py:80 doubles the
+    # accumulator); default is the correct mean, flip for bit-parity experiments.
+    ref_compat_averaging: bool = False
+
+    @property
+    def njoint(self) -> int:
+        return 26 if self.model_type == "body25" else 19
+
+    @property
+    def npaf(self) -> int:
+        return 52 if self.model_type == "body25" else 38
+
+
+@dataclasses.dataclass(frozen=True)
+class HandConfig:
+    """Hand pose estimation config (reference: src/hand.py:24-33)."""
+
+    scale_search: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0)
+    boxsize: int = 368
+    stride: int = 8
+    pad_value: int = 128
+    thre: float = 0.05
+    n_parts: int = 21
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Wrist/elbow hand-box detector (reference: src/util.py:242-306)."""
+
+    ratio_wrist_elbow: float = 0.33
+    width_scale: float = 1.5
+    shoulder_ratio: float = 0.9
+    min_box: int = 20
+    max_hands_per_person: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TranslatorConfig:
+    """ISL translation head (reference: demo_isl_translate.py:72-100)."""
+
+    window_size: int = 20
+    feature_dim: int = 156
+    lstm_units: int = 32
+    dense_units: int = 32
+    n_classes: int = 167
+    dropout: float = 0.2
+    n_body_points: int = 15
+    n_hand_points: int = 21
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Execution knobs for the TPU pipeline (no reference equivalent)."""
+
+    compute_dtype: str = "bfloat16"     # conv trunk compute dtype
+    param_dtype: str = "float32"
+    batch_size: int = 8                 # frames per device step
+    hand_crop_size: int = 368           # fixed square bucket for batched hand crops
+    max_people: int = 8
+    data_axis: str = "data"
+    model_axis: str = "model"

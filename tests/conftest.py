@@ -1,0 +1,37 @@
+"""Test config: force CPU backend with 8 virtual devices so sharding tests run
+without TPU hardware (SURVEY.md §4 implication)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE, "src"))
+
+
+def has_torch() -> bool:
+    try:
+        import torch  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+requires_reference = pytest.mark.skipif(
+    not (has_reference() and has_torch()),
+    reason="reference repo or torch unavailable",
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
