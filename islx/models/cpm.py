@@ -133,6 +133,11 @@ def coco_spec() -> Dict[str, object]:
             Conv(f"conv5_5_CPM_{L}", 512, cout, 1, 0, "none"),
         ]
         for i in range(2, 7):
+            # Reference quirk we reproduce exactly: its no-ReLU list
+            # (src/model.py:215-218) names 'Mconv7_stage6_L1' twice and never
+            # 'Mconv7_stage6_L2', so the FINAL heatmap conv is ReLU-clamped
+            # while every other stage head is linear.
+            head_act = "relu" if (i == 6 and L == "L2") else "none"
             heads[f"block{i}_{L}"] = [
                 Conv(f"Mconv1_stage{i}_{L}", 185, 128, 7, 3, "relu"),
                 Conv(f"Mconv2_stage{i}_{L}", 128, 128, 7, 3, "relu"),
@@ -140,7 +145,7 @@ def coco_spec() -> Dict[str, object]:
                 Conv(f"Mconv4_stage{i}_{L}", 128, 128, 7, 3, "relu"),
                 Conv(f"Mconv5_stage{i}_{L}", 128, 128, 7, 3, "relu"),
                 Conv(f"Mconv6_stage{i}_{L}", 128, 128, 1, 0, "relu"),
-                Conv(f"Mconv7_stage{i}_{L}", 128, cout, 1, 0, "none"),
+                Conv(f"Mconv7_stage{i}_{L}", 128, cout, 1, 0, head_act),
             ]
     spec["heads"] = heads
     return spec
