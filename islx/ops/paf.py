@@ -1,0 +1,116 @@
+"""PAF limb scoring: line integrals as batched gathers + dots, on device.
+
+Replaces the reference's triple host loop (limbs x candA x candB x 10 samples,
+src/body.py:132-164) with one vmapped program: all limbs and all K x K
+candidate pairs are scored at once. The 10-point line integral becomes a
+gather of PAF values at rounded sample coordinates and a dot with the limb
+unit vector; the acceptance criteria (>=80% samples above thre2, positive
+distance-priored mean, src/body.py:158-162) are vectorized masks.
+
+Greedy mutual-exclusion selection stays on host (islx.ops.grouping) — it is
+inherently sequential and tiny (K<=32 candidates).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Limb connection tables (reference: src/body.py:109-126).
+LIMB_SEQ_BODY25 = np.array(
+    [[1, 0], [1, 2], [2, 3], [3, 4], [1, 5], [5, 6], [6, 7], [1, 8], [8, 9],
+     [9, 10], [10, 11], [8, 12], [12, 13], [13, 14], [0, 15], [0, 16],
+     [15, 17], [16, 18], [11, 24], [11, 22], [14, 21], [14, 19], [22, 23],
+     [19, 20]], dtype=np.int32)
+MAP_IDX_BODY25 = np.array(
+    [[30, 31], [14, 15], [16, 17], [18, 19], [22, 23], [24, 25], [26, 27],
+     [0, 1], [6, 7], [2, 3], [4, 5], [8, 9], [10, 11], [12, 13], [32, 33],
+     [34, 35], [36, 37], [38, 39], [50, 51], [46, 47], [44, 45], [40, 41],
+     [48, 49], [42, 43]], dtype=np.int32)
+
+LIMB_SEQ_COCO = np.array(
+    [[1, 2], [1, 5], [2, 3], [3, 4], [5, 6], [6, 7], [1, 8], [8, 9], [9, 10],
+     [1, 11], [11, 12], [12, 13], [1, 0], [0, 14], [14, 16], [0, 15],
+     [15, 17], [2, 16], [5, 17]], dtype=np.int32)
+MAP_IDX_COCO = np.array(
+    [[12, 13], [20, 21], [14, 15], [16, 17], [22, 23], [24, 25], [0, 1],
+     [2, 3], [4, 5], [6, 7], [8, 9], [10, 11], [28, 29], [30, 31], [34, 35],
+     [32, 33], [36, 37], [18, 19], [26, 27]], dtype=np.int32)
+
+LIMB_TABLES = {
+    "body25": (LIMB_SEQ_BODY25, MAP_IDX_BODY25),
+    "coco": (LIMB_SEQ_COCO, MAP_IDX_COCO),
+}
+
+
+class LimbScores(NamedTuple):
+    """All-pairs limb candidate scores.
+
+    score: [L, K, K] float32 — score_with_dist_prior for (candA i, candB j)
+    ok:    [L, K, K] bool — passes both criteria and both peaks valid
+    """
+
+    score: jax.Array
+    ok: jax.Array
+
+
+def _score_one_limb(paf2: jax.Array, a_xy: jax.Array, b_xy: jax.Array,
+                    a_valid: jax.Array, b_valid: jax.Array,
+                    orig_h: jax.Array, thre2: float, mid_num: int
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """paf2: [H,W,2] the limb's (x,y) PAF channels; a/b_xy: [K,2] int peaks."""
+    h, w = paf2.shape[0], paf2.shape[1]
+    a = a_xy.astype(jnp.float32)                      # [K,2]
+    b = b_xy.astype(jnp.float32)
+    vec = b[None, :, :] - a[:, None, :]               # [K,K,2]
+    norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1))
+    norm = jnp.maximum(norm, 0.001)                   # src/body.py:146
+    unit = vec / norm[..., None]
+
+    t = jnp.linspace(0.0, 1.0, mid_num)               # src/body.py:149-150
+    pts = a[:, None, None, :] + vec[:, :, None, :] * t[None, None, :, None]
+    # round-half-to-even matches python round() in src/body.py:152-155
+    xi = jnp.clip(jnp.rint(pts[..., 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.rint(pts[..., 1]).astype(jnp.int32), 0, h - 1)
+    sampled = paf2[yi, xi]                            # [K,K,mid,2]
+    score_mid = (sampled * unit[:, :, None, :]).sum(-1)  # [K,K,mid]
+
+    prior = jnp.minimum(0.5 * orig_h / norm - 1.0, 0.0)
+    swdp = score_mid.mean(-1) + prior                 # [K,K]
+    crit1 = (score_mid > thre2).sum(-1) > 0.8 * mid_num
+    crit2 = swdp > 0
+    ok = crit1 & crit2 & a_valid[:, None] & b_valid[None, :]
+    return swdp, ok
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def score_limbs(paf: jax.Array, peaks_xy: jax.Array, peaks_valid: jax.Array,
+                limb_seq: jax.Array, map_idx: jax.Array,
+                thre2: float = 0.05, mid_num: int = 10,
+                orig_h: jax.Array | float = None) -> LimbScores:
+    """Score every limb's K x K candidate pairs.
+
+    paf:         [H,W,P] averaged PAF maps (full image resolution)
+    peaks_xy:    [C,K,2] from islx.ops.peaks.find_peaks
+    peaks_valid: [C,K]
+    limb_seq:    [L,2] joint-channel index pairs
+    map_idx:     [L,2] PAF channel index pairs
+    orig_h:      image height used in the distance prior (src/body.py:158-159)
+    """
+    if orig_h is None:
+        orig_h = paf.shape[0]
+    orig_h = jnp.asarray(orig_h, jnp.float32)
+
+    def one(limb, chans):
+        a_part, b_part = limb[0], limb[1]
+        paf2 = paf[:, :, chans]                       # [H,W,2]
+        return _score_one_limb(
+            paf2, peaks_xy[a_part], peaks_xy[b_part],
+            peaks_valid[a_part], peaks_valid[b_part],
+            orig_h, thre2, mid_num)
+
+    swdp, ok = jax.vmap(one)(limb_seq, map_idx)
+    return LimbScores(score=swdp, ok=ok)
