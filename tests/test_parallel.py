@@ -1,0 +1,86 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from islx.core.config import TranslatorConfig
+from islx.isl import train as TR
+from islx.models import cpm
+from islx.models import translator as T
+from islx.parallel import mesh as M
+from islx.parallel import sharding as S
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, jax.devices()
+    return M.make_mesh(n_data=4, n_model=2)
+
+
+def _toy_dataset(rng, n=64, cfg=TranslatorConfig()):
+    """Learnable synthetic task: label = sign pattern of pooled features."""
+    x = rng.randn(n, cfg.window_size, cfg.feature_dim).astype(np.float32)
+    w = rng.randn(cfg.feature_dim, cfg.n_classes).astype(np.float32)
+    y = np.argmax(x.mean(1) @ w, axis=1)
+    return x, y
+
+
+def test_mesh_shapes(mesh8):
+    assert mesh8.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_params_match_replicated(mesh8):
+    cfg = TranslatorConfig()
+    params = T.init_params(cfg)
+    sharded = M.shard_translator_params(params, mesh8)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 20, 156), jnp.float32)
+    want = np.asarray(T.forward(params, x))
+    got = np.asarray(T.forward(sharded, jax.device_put(
+        x, M.batch_sharding(mesh8))))
+    np.testing.assert_allclose(want, got, atol=2e-5)
+
+
+def test_train_step_runs_on_mesh(mesh8, rng):
+    cfg = TranslatorConfig()
+    opt = TR.make_optimizer(1e-3)
+    state, _ = TR.init_state(cfg, opt, jax.random.PRNGKey(0))
+    sharded_params = M.shard_translator_params(state.params, mesh8)
+    state = TR.TrainState(sharded_params, opt.init(sharded_params), state.step)
+    step = TR.make_train_step(opt, cfg, mesh8)
+    x, y = _toy_dataset(rng, 16, cfg)
+    xs = jax.device_put(jnp.asarray(x), M.batch_sharding(mesh8))
+    ys = jax.device_put(jnp.asarray(y), M.batch_sharding(mesh8))
+    state, metrics = step(state, xs, ys, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_training_reduces_loss(rng):
+    """Single-device sanity: a few steps on a learnable toy task."""
+    cfg = TranslatorConfig()
+    opt = TR.make_optimizer(3e-3)
+    state, _ = TR.init_state(cfg, opt, jax.random.PRNGKey(0))
+    step = TR.make_train_step(opt, cfg)
+    x, y = _toy_dataset(rng, 32, cfg)
+    xs, ys = jnp.asarray(x), jnp.asarray(y)
+    rng_key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(30):
+        rng_key, sub = jax.random.split(rng_key)
+        state, metrics = step(state, xs, ys, sub)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses[::10]
+
+
+def test_batched_forward_sharded_matches_single(mesh8):
+    params = cpm.init_params("hand", jax.random.PRNGKey(3))
+    x = np.random.RandomState(0).rand(8, 32, 32, 3).astype(np.float32)
+    single = S.make_batched_forward("hand", None, jnp.float32)
+    multi = S.make_batched_forward("hand", mesh8, jnp.float32)
+    want = np.asarray(single(params, jnp.asarray(x)))
+    got = np.asarray(multi(M.shard_cpm_params(params, mesh8),
+                           jax.device_put(jnp.asarray(x),
+                                          M.batch_sharding(mesh8))))
+    np.testing.assert_allclose(want, got, atol=1e-4)
