@@ -30,18 +30,21 @@ def build_candidates(xy: np.ndarray, score: np.ndarray, count: np.ndarray
     xy: [C,K,2], score: [C,K], count: [C] (from islx.ops.peaks.find_peaks).
     Returns (candidate[N,4], per-channel global-id arrays).
     """
-    rows = []
+    blocks = []
     ids: List[np.ndarray] = []
     next_id = 0
     for c in range(xy.shape[0]):
         n = int(count[c])
         gid = np.arange(next_id, next_id + n)
         ids.append(gid)
-        for k in range(n):
-            rows.append([float(xy[c, k, 0]), float(xy[c, k, 1]),
-                         float(score[c, k]), float(next_id + k)])
+        if n:
+            blocks.append(np.column_stack([
+                xy[c, :n, 0].astype(np.float64),
+                xy[c, :n, 1].astype(np.float64),
+                score[c, :n].astype(np.float64),
+                gid.astype(np.float64)]))
         next_id += n
-    candidate = np.array(rows, dtype=np.float64) if rows else np.zeros((0, 4))
+    candidate = np.concatenate(blocks, 0) if blocks else np.zeros((0, 4))
     return candidate, ids
 
 
@@ -65,21 +68,64 @@ def select_connections(limb_score: np.ndarray, limb_ok: np.ndarray,
             special_k.append(k)
             connection_all.append([])
             continue
-        cand = []
-        for i in range(n_a):
-            for j in range(n_b):
-                if limb_ok[k, i, j]:
-                    cand.append((i, j, float(limb_score[k, i, j])))
-        # stable sort, score desc — preserves (i,j) insertion order on ties
-        cand.sort(key=lambda t: t[2], reverse=True)
-        connection = np.zeros((0, 5))
-        for i, j, s in cand:
-            if i not in connection[:, 3] and j not in connection[:, 4]:
-                connection = np.vstack(
-                    [connection, [ids[a_part][i], ids[b_part][j], s, i, j]])
-                if len(connection) >= min(n_a, n_b):
+        ok = limb_ok[k, :n_a, :n_b]
+        ii, jj = np.nonzero(ok)
+        ss = limb_score[k, ii, jj].astype(np.float64)
+        # stable sort, score desc, ties keep (i, j) enumeration order —
+        # matches the reference's sorted(..., reverse=True) of an (i, j)-
+        # ordered list (src/body.py:142-166)
+        order = np.lexsort((jj, ii, -ss))
+        used_i = np.zeros(n_a, bool)
+        used_j = np.zeros(n_b, bool)
+        rows = []
+        cap = min(n_a, n_b)
+        for t in order:
+            i, j = int(ii[t]), int(jj[t])
+            if not used_i[i] and not used_j[j]:
+                used_i[i] = used_j[j] = True
+                rows.append([ids[a_part][i], ids[b_part][j], ss[t],
+                             float(i), float(j)])
+                if len(rows) >= cap:
                     break
-        connection_all.append(connection)
+        connection_all.append(np.array(rows, dtype=np.float64)
+                              if rows else np.zeros((0, 5)))
+    return connection_all, special_k
+
+
+def select_connections_sorted(pair: np.ndarray, score: np.ndarray,
+                              ok: np.ndarray, k: int, counts: np.ndarray,
+                              ids: List[np.ndarray], limb_seq: np.ndarray
+                              ) -> Tuple[List[np.ndarray], List[int]]:
+    """Greedy assignment from device-pre-sorted compact connection lists
+    (islx.ops.paf.compact_connections). Same semantics as
+    :func:`select_connections`, ~(K*K/M)x less host work and transfer."""
+    connection_all: List[np.ndarray] = []
+    special_k: List[int] = []
+    for li in range(limb_seq.shape[0]):
+        a_part, b_part = int(limb_seq[li, 0]), int(limb_seq[li, 1])
+        n_a, n_b = int(counts[a_part]), int(counts[b_part])
+        if n_a == 0 or n_b == 0:
+            special_k.append(li)
+            connection_all.append([])
+            continue
+        used_i = np.zeros(n_a, bool)
+        used_j = np.zeros(n_b, bool)
+        rows = []
+        cap = min(n_a, n_b)
+        for t in range(pair.shape[1]):
+            if not ok[li, t]:
+                break  # sorted: invalid entries are all at the tail
+            i, j = divmod(int(pair[li, t]), k)
+            if i >= n_a or j >= n_b:
+                continue
+            if not used_i[i] and not used_j[j]:
+                used_i[i] = used_j[j] = True
+                rows.append([ids[a_part][i], ids[b_part][j],
+                             float(score[li, t]), float(i), float(j)])
+                if len(rows) >= cap:
+                    break
+        connection_all.append(np.array(rows, dtype=np.float64)
+                              if rows else np.zeros((0, 5)))
     return connection_all, special_k
 
 
@@ -137,6 +183,19 @@ def group_people(candidate: np.ndarray, connection_all: List[np.ndarray],
     delete_idx = [i for i in range(len(subset))
                   if subset[i][-1] < 4 or subset[i][-2] / subset[i][-1] < 0.4]
     return np.delete(subset, delete_idx, axis=0)
+
+
+def assemble_sorted(peaks_xy: np.ndarray, peaks_score: np.ndarray,
+                    peaks_count: np.ndarray, pair: np.ndarray,
+                    score: np.ndarray, ok: np.ndarray, k: int,
+                    limb_seq: np.ndarray, njoint: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Compact-connection variant of :func:`assemble`."""
+    candidate, ids = build_candidates(peaks_xy, peaks_score, peaks_count)
+    connection_all, special_k = select_connections_sorted(
+        pair, score, ok, k, peaks_count, ids, limb_seq)
+    subset = group_people(candidate, connection_all, special_k, limb_seq, njoint)
+    return candidate, subset
 
 
 def assemble(peaks_xy: np.ndarray, peaks_score: np.ndarray,

@@ -114,3 +114,36 @@ def score_limbs(paf: jax.Array, peaks_xy: jax.Array, peaks_valid: jax.Array,
 
     swdp, ok = jax.vmap(one)(limb_seq, map_idx)
     return LimbScores(score=swdp, ok=ok)
+
+
+class CompactConnections(NamedTuple):
+    """Per-limb candidate pairs, pre-sorted on device.
+
+    pair: [L, M] int32 — flattened (i*K + j) candidate pair index
+    score: [L, M] float32
+    ok:   [L, M] bool — entry passes the acceptance criteria
+
+    Sorted score-descending with ties in (i, j) enumeration order — exactly
+    the order the reference's stable sort produces (src/body.py:166) — so the
+    host greedy pass consumes it directly. Shipping M<<K*K entries cuts the
+    device->host result volume ~(K*K/M)x.
+    """
+
+    pair: jax.Array
+    score: jax.Array
+    ok: jax.Array
+
+
+def compact_connections(ls: LimbScores, m: int = 48) -> CompactConnections:
+    """Sort each limb's K*K pair scores on device, keep the top ``m``."""
+    l, k, _ = ls.score.shape
+    flat_score = ls.score.reshape(l, k * k)
+    flat_ok = ls.ok.reshape(l, k * k)
+    masked = jnp.where(flat_ok, flat_score, -jnp.inf)
+    # stable argsort of -score: equal scores keep ascending pair index ==
+    # (i, j) enumeration order; invalid (-inf) entries sink to the tail
+    order = jnp.argsort(-masked, axis=1, stable=True)[:, :m]
+    return CompactConnections(
+        pair=order.astype(jnp.int32),
+        score=jnp.take_along_axis(flat_score, order, axis=1),
+        ok=jnp.take_along_axis(flat_ok, order, axis=1))

@@ -1,0 +1,249 @@
+"""Batched frame pipelines — the throughput path.
+
+The reference processes one frame at a time with host<->device round trips per
+scale (demo_video.py:121-140 outer loop; SURVEY.md §3.2). Here frames are
+resized into a fixed stride-aligned bucket and a whole batch flows through one
+jitted program: normalize -> CPM forward -> x8 upsample -> blur/NMS peaks ->
+PAF pair scoring, all on device; only the tiny greedy grouping runs on host
+per frame.
+
+Production-vs-parity: peaks are extracted at bucket resolution and coordinates
+scaled back to the source frame (<=1px from the reference's
+resize-to-original-then-NMS order); the reference-exact path lives in
+islx.pose.body.Body. Hand crops are resized to one fixed square bucket so the
+hand CPM runs as a single batched call over all detected hands; the scale
+pyramid is configurable (reference-compat 4 scales or a fast single scale).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from islx.core.config import HandConfig, PoseConfig
+from islx.models import cpm
+from islx.ops import grouping
+from islx.ops.hand_peaks import find_hand_peaks_fast, find_hand_peaks_refine
+from islx.ops.paf import LIMB_TABLES, compact_connections, score_limbs
+from islx.ops.peaks import find_peaks
+from islx.ops.preprocess import pad_amounts
+from islx.ops.resize import resize_cubic
+
+
+def bucket_for(h: int, w: int, target_h: int = 184, stride: int = 8
+               ) -> Tuple[int, int]:
+    """Stride-aligned bucket: scale height to target, round width up."""
+    scale = target_h / h
+    wb = int(np.ceil(w * scale / stride) * stride)
+    return target_h, wb
+
+
+class BatchedBodyPipeline:
+    """Fixed-bucket batched body pose: u8 frames -> (candidate, subset) list."""
+
+    def __init__(self, params: cpm.Params, model_type: str = "body25",
+                 cfg: Optional[PoseConfig] = None,
+                 compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48):
+        self.params = params
+        self.model_type = model_type
+        self.cfg = cfg or PoseConfig(model_type=model_type)
+        self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self.top_m = top_m    # device-sorted connection candidates per limb
+        self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
+        self._programs = {}
+
+    def _program(self, b: int, hb: int, wb: int):
+        key = (b, hb, wb)
+        if key not in self._programs:
+            cfg = self.cfg
+            forward = cpm.FORWARDS[self.model_type]
+            cd = self.compute_dtype
+            limb_seq = jnp.asarray(self.limb_seq)
+            map_idx = jnp.asarray(self.map_idx)
+
+            def program(params, frames_flat, thre1):
+                # frames arrive as a flat u8 buffer: multi-dim u8 arrays pay a
+                # massive tiled-layout conversion on host->device transfer
+                # (measured ~25MB/s vs ~1.5GB/s flat); reshape on device.
+                frames = frames_flat.reshape(b, hb, wb, 3)
+                x = frames.astype(jnp.float32) / 256.0 - 0.5
+                paf, heat = forward(params, x, cd)
+                heat = resize_cubic(heat, hb, wb)     # x8, batched over B
+                paf = resize_cubic(paf, hb, wb)
+                pk = jax.vmap(lambda h: find_peaks(
+                    h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks))(heat)
+                cc = jax.vmap(lambda p, xy, v: compact_connections(score_limbs(
+                    p, xy, v, limb_seq, map_idx, cfg.thre2, cfg.mid_num,
+                    orig_h=jnp.float32(hb)), self.top_m))(paf, pk.xy, pk.valid)
+                # pack every output into ONE flat f32 buffer: each separate
+                # device->host fetch pays a fixed RPC round trip on tunneled
+                # TPU runtimes, so one (small) download per step.
+                packed = jnp.concatenate([
+                    pk.xy.astype(jnp.float32).reshape(-1),
+                    pk.score.reshape(-1),
+                    pk.count.astype(jnp.float32).reshape(-1),
+                    cc.pair.astype(jnp.float32).reshape(-1),
+                    cc.score.reshape(-1),
+                    cc.ok.astype(jnp.float32).reshape(-1),
+                ])
+                return packed
+
+            if self.mesh is None:
+                self._programs[key] = jax.jit(program)
+            else:
+                from islx.parallel import mesh as M
+
+                self._programs[key] = jax.jit(
+                    program,
+                    in_shardings=(M.replicated(self.mesh),
+                                  M.batch_sharding(self.mesh), None),
+                    out_shardings=M.replicated(self.mesh))
+        return self._programs[key]
+
+    def device_step(self, frames: np.ndarray | jax.Array,
+                    thre1: Optional[float] = None) -> jax.Array:
+        """frames u8 [B,Hb,Wb,3] (bucketed) -> packed flat f32 result buffer.
+
+        thre1 overrides the config peak threshold (traced, no recompile).
+        """
+        b, hb, wb = frames.shape[0], frames.shape[1], frames.shape[2]
+        flat = jnp.asarray(np.asarray(frames).reshape(-1))
+        t1 = jnp.float32(self.cfg.thre1 if thre1 is None else thre1)
+        return self._program(b, hb, wb)(self.params, flat, t1)
+
+    def unpack(self, packed: np.ndarray, b: int):
+        """Packed buffer -> (xy, score, count, pair, cscore, cok) numpy."""
+        c = self.cfg.njoint - 1
+        k = self.cfg.max_peaks
+        l = self.limb_seq.shape[0]
+        m = self.top_m
+        sizes = [b * c * k * 2, b * c * k, b * c,
+                 b * l * m, b * l * m, b * l * m]
+        parts = np.split(np.asarray(packed), np.cumsum(sizes)[:-1])
+        xy = parts[0].reshape(b, c, k, 2).astype(np.int32)
+        score = parts[1].reshape(b, c, k)
+        count = parts[2].reshape(b, c).astype(np.int32)
+        pair = parts[3].reshape(b, l, m).astype(np.int32)
+        cscore = parts[4].reshape(b, l, m)
+        cok = parts[5].reshape(b, l, m) > 0.5
+        return xy, score, count, pair, cscore, cok
+
+    def __call__(self, frames: np.ndarray,
+                 orig_hw: Optional[Tuple[int, int]] = None,
+                 thre1: Optional[float] = None
+                 ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """frames u8 [B,Hb,Wb,3] -> per-frame (candidate, subset).
+
+        orig_hw: source frame size; peak coordinates are scaled back to it.
+        """
+        b, hb, wb = frames.shape[:3]
+        packed = self.device_step(frames, thre1)
+        xy, score, count, pair, cscore, cok = self.unpack(packed, b)
+        out = []
+        sy = sx = 1.0
+        if orig_hw is not None:
+            sy, sx = orig_hw[0] / hb, orig_hw[1] / wb
+        for i in range(b):
+            cand, subset = grouping.assemble_sorted(
+                xy[i], score[i], count[i], pair[i], cscore[i], cok[i],
+                self.cfg.max_peaks, self.limb_seq, self.cfg.njoint)
+            if cand.shape[0]:
+                cand = cand.copy()
+                cand[:, 0] *= sx
+                cand[:, 1] *= sy
+            out.append((cand, subset))
+        return out
+
+
+class BatchedHandPipeline:
+    """Fixed-bucket batched hand pose: u8 crops [N,S,S,3] -> peaks [N,21,2]."""
+
+    def __init__(self, params: cpm.Params, cfg: Optional[HandConfig] = None,
+                 crop_size: int = 368, compute_dtype=jnp.bfloat16, mesh=None):
+        self.params = params
+        self.cfg = cfg or HandConfig()
+        self.crop_size = crop_size
+        self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self._programs = {}
+
+    def _program(self, n: int):
+        if n not in self._programs:
+            cfg = self.cfg
+            s0 = self.crop_size
+            cd = self.compute_dtype
+            single_scale = len(cfg.scale_search) == 1
+
+            def run_scale(params, crops, s):
+                size = int(np.rint(s * cfg.boxsize))
+                pd, pr = pad_amounts(size, size, cfg.stride)
+                x = (crops if size == s0
+                     else resize_cubic(crops, size, size, saturate_uint8=True))
+                x = jnp.pad(x.astype(jnp.float32),
+                            ((0, 0), (0, pd), (0, pr), (0, 0)),
+                            constant_values=float(cfg.pad_value))
+                x = x / 256.0 - 0.5
+                heat = cpm.hand_forward(params, x, cd)
+                m = resize_cubic(heat, size + pd, size + pr)
+                return m[:, :size, :size], size
+
+            def pack(pk, scale):
+                # single flat output buffer = single D2H round trip
+                return jnp.concatenate([
+                    pk.xy.astype(jnp.float32).reshape(-1),
+                    pk.found.astype(jnp.float32).reshape(-1),
+                    jnp.asarray([scale], jnp.float32)])
+
+            def program(params, crops_flat):
+                crops = crops_flat.reshape(n, s0, s0, 3)  # see body pipeline
+                if single_scale:
+                    # fast path: NO full-res heatmap upsample — coarse peak at
+                    # net resolution + local-window cubic refinement
+                    # (find_hand_peaks_refine), peaks in scale coords, host
+                    # maps them back to crop coords (<=1px vs reference order)
+                    s = cfg.scale_search[0]
+                    size = int(np.rint(s * cfg.boxsize))
+                    x = (crops if size == s0
+                         else resize_cubic(crops, size, size,
+                                           saturate_uint8=True))
+                    x = x.astype(jnp.float32) / 256.0 - 0.5
+                    heat = cpm.hand_forward(params, x, cd)  # [n,size/8,.,22]
+                    pk = jax.vmap(lambda h: find_hand_peaks_refine(
+                        h[:, :, :cfg.n_parts], cfg.thre))(heat)
+                    return pack(pk, s0 / size)
+                heat_sum = jnp.zeros((n, s0, s0, 22), jnp.float32)
+                for s in cfg.scale_search:
+                    m, _ = run_scale(params, crops, s)
+                    heat_sum = heat_sum + resize_cubic(m, s0, s0) / len(
+                        cfg.scale_search)
+                pk = jax.vmap(lambda h: find_hand_peaks_fast(
+                    h[:, :, :cfg.n_parts], cfg.thre))(heat_sum)
+                return pack(pk, 1.0)
+
+            if self.mesh is None:
+                self._programs[n] = jax.jit(program)
+            else:
+                from islx.parallel import mesh as M
+
+                self._programs[n] = jax.jit(
+                    program,
+                    in_shardings=(M.replicated(self.mesh),
+                                  M.batch_sharding(self.mesh)),
+                    out_shardings=M.replicated(self.mesh))
+        return self._programs[n]
+
+    def __call__(self, crops: np.ndarray) -> np.ndarray:
+        """crops u8 [N,S,S,3] (S = crop_size) -> peaks [N,21,2] in crop coords."""
+        n = crops.shape[0]
+        c = self.cfg.n_parts
+        flat = jnp.asarray(np.asarray(crops).reshape(-1))
+        packed = np.asarray(self._program(n)(self.params, flat))
+        xy = packed[:n * c * 2].reshape(n, c, 2).astype(np.float64)
+        found = packed[n * c * 2:n * c * 3].reshape(n, c) > 0.5
+        coord_scale = float(packed[-1])
+        xy *= coord_scale
+        return np.where(found[:, :, None], np.rint(xy).astype(np.int32), 0)
