@@ -1,0 +1,71 @@
+"""Single-image demo: body pose + hand pose + rendering.
+
+Equivalent of reference demo.py / demo_batch.py:
+
+    python -m islx.cli.demo IMAGE [--body-weights W] [--hand-weights W]
+           [--model-type body25|coco] [--out OUT.png]
+
+Without weights the nets run randomly initialized (pipeline smoke test).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def build_pose(args):
+    from islx.isl.translator import ISLSignPos
+    from islx.pose.body import Body
+    from islx.pose.hand import Hand
+
+    body = Body(args.body_weights, args.model_type)
+    hand = Hand(args.hand_weights)
+    return ISLSignPos(body, hand)
+
+
+def process_image(pose, img, model_type: str):
+    from islx.utils import draw
+
+    candidate, subset, hands = pose(img)
+    canvas = draw.draw_bodypose(img, candidate, subset, model_type)
+    return draw.draw_handpose(canvas, hands), (candidate, subset, hands)
+
+
+def main(argv=None):
+    import cv2
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("images", nargs="+", help="image path(s) or glob")
+    p.add_argument("--body-weights", default=None)
+    p.add_argument("--hand-weights", default=None)
+    p.add_argument("--model-type", default="body25",
+                   choices=["body25", "coco"])
+    p.add_argument("--out", default=None,
+                   help="output path (single image) or directory")
+    args = p.parse_args(argv)
+
+    paths = []
+    for pat in args.images:
+        paths.extend(sorted(glob.glob(pat)) or [pat])
+    pose = build_pose(args)
+    for path in paths:
+        img = cv2.imread(path)
+        if img is None:
+            print(f"cannot read {path}")
+            continue
+        canvas, (candidate, subset, hands) = process_image(
+            pose, img, args.model_type)
+        if args.out and len(paths) == 1 and not os.path.isdir(args.out):
+            out = args.out
+        else:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out_dir = args.out if args.out else os.path.dirname(path) or "."
+            os.makedirs(out_dir, exist_ok=True)
+            out = os.path.join(out_dir, f"result_{stem}_{args.model_type}.png")
+        cv2.imwrite(out, canvas)
+        print(f"{path}: {len(subset)} people, {len(hands)} hands -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Dataset feature extraction CLI (reference extract_features*.py family).
+
+    python -m islx.cli.extract CSV OUT_DIR [--shard-index I --num-shards N]
+           [--body-weights W] [--hand-weights W] [--sticks]
+
+Shard across machines/processes by launching one process per (I, N) pair —
+the deterministic-partition replacement for the reference's mp.Process +
+Queue orchestration (extract_features_mp.py:156-239).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    from islx.isl.extract import ExtractConfig, extract_dataset
+    from islx.isl.translator import ISLSignPos
+    from islx.pose.body import Body
+    from islx.pose.hand import Hand
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("csv")
+    p.add_argument("out_dir")
+    p.add_argument("--shard-index", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--body-weights", default=None)
+    p.add_argument("--hand-weights", default=None)
+    p.add_argument("--path-col", default="Filepath")
+    p.add_argument("--sticks", action="store_true",
+                   help="also write stick-figure JPGs per frame")
+    args = p.parse_args(argv)
+
+    pose = ISLSignPos(Body(args.body_weights, "body25"),
+                      Hand(args.hand_weights))
+    cfg = ExtractConfig(out_root=args.out_dir, write_sticks=args.sticks)
+    out = extract_dataset(cfg, pose, args.csv, args.shard_index,
+                          args.num_shards, args.path_col)
+    print(f"shard {args.shard_index}/{args.num_shards} -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""ISL translation demo: video -> rolling-window sign predictions.
+
+Equivalent of reference demo_isl_translate.py /
+demo_isl_translate_one_model.py, with per-frame feature caching (each frame's
+pose runs once, not 20x — see islx.isl.translator).
+
+    python -m islx.cli.translate VIDEO [--head model.keras|.npz]
+           [--body-weights W] [--hand-weights W] [--camera]
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def load_head(path):
+    from islx.models import translator as T
+
+    if path is None:
+        return None
+    if path.endswith((".keras", ".h5")):
+        return T.load_keras(path)
+    raise ValueError(f"unsupported head checkpoint: {path}")
+
+
+def main(argv=None):
+    from islx.isl.translator import ISLTranslator
+    from islx.pose.body import Body
+    from islx.pose.hand import Hand
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("video", nargs="?", default=None)
+    p.add_argument("--camera", action="store_true",
+                   help="use webcam instead of a file (demo_camera.py flow)")
+    p.add_argument("--head", default=None,
+                   help="translator head checkpoint (.keras/.h5)")
+    p.add_argument("--body-weights", default=None)
+    p.add_argument("--hand-weights", default=None)
+    p.add_argument("--min-prob", type=float, default=0.0)
+    args = p.parse_args(argv)
+
+    body = Body(args.body_weights, "body25")
+    hand = Hand(args.hand_weights)
+    translator = ISLTranslator(body, hand, load_head(args.head))
+
+    if args.camera:
+        import cv2
+
+        cap = cv2.VideoCapture(0)
+        idx = 0
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                probs = translator.push(frame)
+                if probs is not None:
+                    cid, expr, prob = translator.top_expression(probs)
+                    if prob >= args.min_prob:
+                        print(f"{idx} {prob:0.4f} {cid}-{expr}")
+                idx += 1
+        finally:
+            cap.release()
+        return
+
+    from islx.pipeline.video import FrameSource
+
+    with FrameSource(args.video) as src:
+        for idx, cid, expr, prob in translator.translate_video_frames(src):
+            if prob >= args.min_prob:
+                print(f"{idx} {prob:0.4f} {cid}-{expr}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Dataset feature extraction — the offline "training-data build" path.
+
+Re-implements the reference's three extraction pipelines (extract_features.py,
+extract_features_mp.py, extract_featuressingle.py / src/dataloader.py) as one
+sharded, idempotent, resumable pipeline:
+
+* per frame: pose -> features -> JSON record {candidate, subset,
+  all_hand_peaks} + optional stick-figure JPG (reference
+  extract_features.py:105-141 outputs)
+* crash-resume via output-file existence, like the reference's
+  ``is_processed`` (extract_features.py:97-101)
+* sharding: deterministic row partition over (shard_index, num_shards) —
+  the TPU-native replacement for the reference's mp.Process-per-CSV-chunk
+  (extract_features_mp.py:198-221); run one process per host/chip, no queues
+* per-video timing + aggregate features.csv + STATUS.csv accounting
+  (json_to_pandas.py:50-92)
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from islx.isl import features as F
+
+
+@dataclass
+class ExtractConfig:
+    out_root: str
+    write_json: bool = True
+    write_sticks: bool = False
+    window_size: int = 20
+
+
+def _frame_paths(cfg: ExtractConfig, video_id: str, idx: int):
+    d = os.path.join(cfg.out_root, video_id)
+    return (os.path.join(d, f"{idx:06d}.json"),
+            os.path.join(d, f"{idx:06d}.jpg"))
+
+
+def is_processed(cfg: ExtractConfig, video_id: str, idx: int) -> bool:
+    """Per-frame idempotency marker (reference extract_features.py:97-101)."""
+    jp, ip = _frame_paths(cfg, video_id, idx)
+    ok = (not cfg.write_json) or os.path.exists(jp)
+    return ok and ((not cfg.write_sticks) or os.path.exists(ip))
+
+
+def save_frame(cfg: ExtractConfig, video_id: str, idx: int,
+               candidate: np.ndarray, subset: np.ndarray,
+               all_hand_peaks: Sequence[np.ndarray],
+               frame: Optional[np.ndarray] = None) -> Dict:
+    """Persist one frame's pose record; returns the flat feature row."""
+    d = os.path.join(cfg.out_root, video_id)
+    os.makedirs(d, exist_ok=True)
+    jp, ip = _frame_paths(cfg, video_id, idx)
+    record = {
+        "candidate": np.asarray(candidate).tolist(),
+        "subset": np.asarray(subset).tolist(),
+        "all_hand_peaks": [np.asarray(p).tolist() for p in all_hand_peaks],
+    }
+    if cfg.write_json:
+        tmp = jp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, jp)   # write-once atomic, safe under sharded reruns
+    if cfg.write_sticks and frame is not None:
+        import cv2
+
+        from islx.utils import draw
+
+        circles, sticks = F.get_bodypose(candidate, subset, "body25")
+        edges, peaks = F.get_handpose(all_hand_peaks)
+        cv2.imwrite(ip, draw.draw_stick_model(frame, circles, sticks,
+                                              edges, peaks))
+    feat = F.frame_features(candidate, subset, all_hand_peaks, "body25")
+    return {"video": video_id, "frame": idx,
+            **{f"f{i}": float(v) for i, v in enumerate(feat)}}
+
+
+def extract_video(cfg: ExtractConfig, pose, video_path: str,
+                  video_id: Optional[str] = None) -> List[Dict]:
+    """Run pose over every frame of one video (resumable)."""
+    from islx.pipeline.video import FrameSource
+
+    video_id = video_id or os.path.basename(video_path)
+    rows: List[Dict] = []
+    t0 = time.time()
+    with FrameSource(video_path) as src:
+        for idx, frame in enumerate(src):
+            if is_processed(cfg, video_id, idx):
+                continue
+            candidate, subset, hands = pose(frame)
+            rows.append(save_frame(cfg, video_id, idx, candidate, subset,
+                                   hands, frame))
+    if rows:
+        rows[-1]["exec_time_s"] = time.time() - t0
+    return rows
+
+
+def shard_rows(rows: Sequence, shard_index: int, num_shards: int) -> List:
+    """Deterministic row partition (replaces extract_features_mp.py:198-201)."""
+    return [r for i, r in enumerate(rows) if i % num_shards == shard_index]
+
+
+def extract_dataset(cfg: ExtractConfig, pose, csv_path: str,
+                    shard_index: int = 0, num_shards: int = 1,
+                    path_col: str = "Filepath") -> str:
+    """Extract features for every video in an INCLUDE-style CSV shard.
+
+    Writes ``features-shard{i}.csv`` under out_root; aggregate with
+    :func:`islx.isl.dataset.build_table`.
+    """
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    my_rows = shard_rows(list(df.itertuples(index=False)), shard_index,
+                         num_shards)
+    all_rows: List[Dict] = []
+    for row in my_rows:
+        path = getattr(row, path_col)
+        meta = {c: getattr(row, c) for c in df.columns if c != path_col}
+        for r in extract_video(cfg, pose, path):
+            r.update(meta)
+            all_rows.append(r)
+    out = os.path.join(cfg.out_root, f"features-shard{shard_index}.csv")
+    pd.DataFrame(all_rows).to_csv(out, index=False)
+    return out

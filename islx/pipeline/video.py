@@ -1,0 +1,163 @@
+"""Video I/O: frame sources/sinks feeding batched device pipelines.
+
+The reference reads with cv2.VideoCapture / pims and writes raw BGR24 frames
+into an ffmpeg stdin pipe, probing metadata with ffprobe
+(demo_video.py:18-34,95-117; src/ISL_Model_parameter.py:15-37). Here the same
+capabilities sit behind small classes, with an added ``FrameBatcher`` that
+groups frames into fixed-size device batches (the throughput unit of
+islx.pipeline.batch_pose). ffmpeg/ffprobe are optional: when absent we fall
+back to cv2.VideoWriter / cv2.VideoCapture metadata.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _have(binary: str) -> bool:
+    return shutil.which(binary) is not None
+
+
+@dataclass
+class VideoMeta:
+    width: int
+    height: int
+    fps: float
+    codec: str = "unknown"
+    pix_fmt: str = "unknown"
+    n_frames: int = -1
+
+
+def probe(path: str) -> VideoMeta:
+    """Stream metadata via ffprobe (reference demo_video.py:18-34), cv2
+    fallback when ffprobe is unavailable."""
+    if _have("ffprobe"):
+        cmd = ["ffprobe", "-v", "error", "-select_streams", "v:0",
+               "-show_streams", "-print_format", "json", path]
+        info = json.loads(subprocess.check_output(cmd).decode())
+        s = info["streams"][0]
+        num, den = s.get("avg_frame_rate", "30/1").split("/")
+        fps = float(num) / float(den) if float(den) else 30.0
+        return VideoMeta(width=int(s["width"]), height=int(s["height"]),
+                         fps=fps, codec=s.get("codec_name", "unknown"),
+                         pix_fmt=s.get("pix_fmt", "unknown"),
+                         n_frames=int(s.get("nb_frames", -1)))
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        return VideoMeta(width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                         height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                         fps=cap.get(cv2.CAP_PROP_FPS) or 30.0,
+                         n_frames=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+    finally:
+        cap.release()
+
+
+class FrameSource:
+    """Iterate BGR u8 frames from a video file (cv2.VideoCapture)."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        self.path = path
+        self.meta = probe(path)
+        self._cap = cv2.VideoCapture(path)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            ok, frame = self._cap.read()
+            if not ok:
+                break
+            yield frame
+
+    def close(self) -> None:
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FrameWriter:
+    """Write BGR u8 frames to a video file.
+
+    Prefers an async ffmpeg rawvideo pipe (reference Writer,
+    demo_video.py:95-117); falls back to cv2.VideoWriter.
+    """
+
+    def __init__(self, path: str, fps: float, frame_hw: Tuple[int, int],
+                 vcodec: str = "libx264"):
+        self.path = path
+        h, w = frame_hw
+        if _have("ffmpeg"):
+            cmd = ["ffmpeg", "-y", "-loglevel", "error",
+                   "-f", "rawvideo", "-pix_fmt", "bgr24",
+                   "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
+                   "-an", "-vcodec", vcodec, path]
+            self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+            self._cv = None
+        else:
+            import cv2
+
+            self._proc = None
+            self._cv = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+
+    def __call__(self, frame: np.ndarray) -> None:
+        if self._proc is not None:
+            self._proc.stdin.write(frame.tobytes())
+        else:
+            self._cv.write(frame)
+
+    def close(self) -> None:
+        if self._proc is not None:
+            self._proc.stdin.close()
+            self._proc.wait()
+        else:
+            self._cv.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FrameBatcher:
+    """Group frames into fixed [B,Hb,Wb,3] buckets for device batches.
+
+    Resizes each frame into the stride-aligned bucket (cv2 INTER_CUBIC, the
+    same resize the per-image path applies on device) and yields
+    (batch u8 [B,Hb,Wb,3], n_valid) — the tail batch is padded by repeating
+    the last frame so device shapes stay static.
+    """
+
+    def __init__(self, batch: int, bucket_hw: Tuple[int, int]):
+        self.batch = batch
+        self.bucket_hw = bucket_hw
+
+    def __call__(self, frames: Sequence[np.ndarray] | Iterator[np.ndarray]
+                 ) -> Iterator[Tuple[np.ndarray, int]]:
+        import cv2
+
+        hb, wb = self.bucket_hw
+        buf: List[np.ndarray] = []
+        for frame in frames:
+            buf.append(cv2.resize(frame, (wb, hb),
+                                  interpolation=cv2.INTER_CUBIC))
+            if len(buf) == self.batch:
+                yield np.stack(buf), self.batch
+                buf.clear()
+        if buf:
+            n = len(buf)
+            while len(buf) < self.batch:
+                buf.append(buf[-1])
+            yield np.stack(buf), n
