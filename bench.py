@@ -3,13 +3,15 @@
 Workload (production config, BASELINE.md configs 1-4 family): every frame runs
 the BODY_25 pipeline (bucketed scale-0.5 input, device NMS + PAF scoring +
 device-sorted connection compaction, host greedy grouping) plus TWO hand
-crops through the hand CPM pipeline (368px crops, single-scale production
-pyramid with coarse-to-fine peak refinement; the reference-compat 4-scale
-pyramid is a config flip). Weights are random (the reference ships none) —
-FLOPs and memory traffic are identical to converted checkpoints.
+crops through the hand CPM pipeline (184px crop bucket upscaled on device to
+the 368px single-scale production pyramid with coarse-to-fine peak
+refinement; the reference-compat 4-scale pyramid is a config flip). Weights
+are random (the reference ships none) — FLOPs and memory traffic are
+identical to converted checkpoints.
 
-Both device programs are dispatched asynchronously before either result is
-fetched, so body/hand compute and host grouping overlap.
+The loop is double-buffered: batch i+1's device programs are dispatched
+before batch i's results are fetched, so device compute, host grouping and
+the (tunnel-limited) transfers overlap.
 
 Prints one JSON line: frames/sec/chip vs the 2000 fps north star
 (BASELINE.json)."""
@@ -31,8 +33,9 @@ def main():
     from islx.pipeline.batch_pose import (BatchedBodyPipeline,
                                           BatchedHandPipeline, bucket_for)
 
-    B = 16                     # frames per device step
+    B = 32                     # frames per device step
     HANDS_PER_FRAME = 2
+    CROP = 184                 # hand crop bucket (device upscales to 368)
 
     img = cv2.imread("/root/reference/images/demo.jpg")
     if img is None:
@@ -41,8 +44,8 @@ def main():
     hb, wb = bucket_for(h0, w0, target_h=184)
     frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
     frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
-    crop = cv2.resize(img[: min(h0, w0), : min(h0, w0)], (368, 368))
-    crops = np.broadcast_to(crop, (B * HANDS_PER_FRAME, 368, 368, 3)).copy()
+    crop = cv2.resize(img[: min(h0, w0), : min(h0, w0)], (CROP, CROP))
+    crops = np.broadcast_to(crop, (B * HANDS_PER_FRAME, CROP, CROP, 3)).copy()
 
     body = BatchedBodyPipeline(
         cpm.init_params("body25"), "body25",
@@ -50,7 +53,9 @@ def main():
         compute_dtype=jnp.bfloat16)
     hand = BatchedHandPipeline(
         cpm.init_params("hand"), HandConfig(scale_search=(1.0,)),
-        crop_size=368, compute_dtype=jnp.bfloat16)
+        crop_size=CROP, compute_dtype=jnp.bfloat16)
+    hand_prog = hand._program(B * HANDS_PER_FRAME)
+    crops_flat = crops.reshape(-1)
 
     # Random weights produce noise heatmaps that saturate the peak tables and
     # make the (tiny, input-dependent) host grouping step look like the whole
@@ -64,28 +69,28 @@ def main():
             break
         thre1 *= 2.0
 
-    hand_prog = hand._program(B * HANDS_PER_FRAME)
-    crops_flat_np = crops.reshape(-1)
+    def dispatch():
+        return (body.device_step(frames, thre1),
+                hand_prog(hand.params, jnp.asarray(crops_flat)))
 
-    def run_once():
-        # dispatch both device programs before fetching anything
-        body_packed = body.device_step(frames, thre1)
-        hand_packed = hand_prog(hand.params, jnp.asarray(crops_flat_np))
-        xy, score, count, pair, cscore, cok = body.unpack(body_packed, B)
-        out = []
-        for i in range(B):
-            out.append(grouping.assemble_sorted(
-                xy[i], score[i], count[i], pair[i], cscore[i], cok[i],
-                body.cfg.max_peaks, body.limb_seq, body.cfg.njoint))
-        hand_res = np.asarray(hand_packed)
-        return out, hand_res
+    def consume(bp, hp):
+        xy, score, count, pair, cs, co = body.unpack(bp, B)
+        out = [grouping.assemble_sorted(
+            xy[i], score[i], count[i], pair[i], cs[i], co[i],
+            body.cfg.max_peaks, body.limb_seq, body.cfg.njoint)
+            for i in range(B)]
+        return out, np.asarray(hp)
 
-    run_once()  # compile + warm
+    consume(*dispatch())  # compile + warm
 
-    n_iters = 4
+    n_iters = 6
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        run_once()
+    bp, hp = dispatch()
+    for _ in range(n_iters - 1):
+        bp2, hp2 = dispatch()
+        consume(bp, hp)
+        bp, hp = bp2, hp2
+    consume(bp, hp)
     dt = time.perf_counter() - t0
 
     fps = B * n_iters / dt
