@@ -142,21 +142,32 @@ class BatchedBodyPipeline:
         """
         b, hb, wb = frames.shape[:3]
         packed = self.device_step(frames, thre1)
-        xy, score, count, pair, cscore, cok = self.unpack(packed, b)
-        out = []
-        sy = sx = 1.0
+        out = self.assemble(packed, b)
         if orig_hw is not None:
             sy, sx = orig_hw[0] / hb, orig_hw[1] / wb
-        for i in range(b):
-            cand, subset = grouping.assemble_sorted(
-                xy[i], score[i], count[i], pair[i], cscore[i], cok[i],
-                self.cfg.max_peaks, self.limb_seq, self.cfg.njoint)
-            if cand.shape[0]:
-                cand = cand.copy()
-                cand[:, 0] *= sx
-                cand[:, 1] *= sy
-            out.append((cand, subset))
+            for cand, _ in out:
+                if cand.shape[0]:
+                    cand[:, 0] *= sx
+                    cand[:, 1] *= sy
         return out
+
+    def assemble(self, packed, b: int) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Packed device buffer -> per-frame (candidate, subset).
+
+        Uses the native C++ grouping kernel when available (whole batch in one
+        call), numpy fallback otherwise.
+        """
+        xy, score, count, pair, cscore, cok = self.unpack(packed, b)
+        from islx.ops import native
+
+        if native.available():
+            return native.assemble_batch(
+                xy, score, count, pair, cscore, cok, self.cfg.max_peaks,
+                self.limb_seq, self.cfg.njoint)
+        return [grouping.assemble_sorted(
+            xy[i], score[i], count[i], pair[i], cscore[i], cok[i],
+            self.cfg.max_peaks, self.limb_seq, self.cfg.njoint)
+            for i in range(b)]
 
 
 class BatchedHandPipeline:
