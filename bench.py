@@ -74,11 +74,7 @@ def main():
                 hand_prog(hand.params, jnp.asarray(crops_flat)))
 
     def consume(bp, hp):
-        xy, score, count, pair, cs, co = body.unpack(bp, B)
-        out = [grouping.assemble_sorted(
-            xy[i], score[i], count[i], pair[i], cs[i], co[i],
-            body.cfg.max_peaks, body.limb_seq, body.cfg.njoint)
-            for i in range(B)]
+        out = body.assemble(bp, B)  # native C++ grouping when available
         return out, np.asarray(hp)
 
     consume(*dispatch())  # compile + warm
