@@ -113,20 +113,41 @@ def init_state(cfg: TranslatorConfig = TranslatorConfig(),
 
 def fit(x: np.ndarray, y: np.ndarray, epochs: int = 10, batch_size: int = 32,
         lr: float = 1e-3, cfg: TranslatorConfig = TranslatorConfig(),
-        mesh=None, seed: int = 0, verbose: bool = True) -> T.Params:
-    """Simple host training loop over a (windows, labels) dataset."""
+        mesh=None, seed: int = 0, verbose: bool = True,
+        checkpoint_dir: Optional[str] = None) -> T.Params:
+    """Simple host training loop over a (windows, labels) dataset.
+
+    With ``checkpoint_dir``, the TrainState is saved each epoch and training
+    resumes from the latest checkpoint on restart (crash-safe, SURVEY §5
+    checkpoint/resume).
+    """
+    import os
+
+    from islx.core import checkpoint as ckpt
+
     opt = make_optimizer(lr)
     state, _ = init_state(cfg, opt, jax.random.PRNGKey(seed))
+    start_epoch = 0
+    if checkpoint_dir:
+        latest = os.path.join(checkpoint_dir, "latest")
+        meta_p = os.path.join(checkpoint_dir, "meta.json")
+        if ckpt.exists(latest) and os.path.exists(meta_p):
+            import json
+
+            with open(meta_p) as f:
+                start_epoch = json.load(f)["epoch"] + 1
+            state = ckpt.load_pytree(latest, like=state)
+            state = TrainState(*state) if not isinstance(state, TrainState) \
+                else state
     if mesh is not None:
-        state = TrainState(M.shard_translator_params(state.params, mesh),
-                           opt.init(M.shard_translator_params(state.params, mesh)),
-                           state.step)
+        sharded = M.shard_translator_params(state.params, mesh)
+        state = TrainState(sharded, opt.init(sharded), state.step)
     step = make_train_step(opt, cfg, mesh)
     rng = jax.random.PRNGKey(seed + 1)
     n = x.shape[0]
     order = np.arange(n)
     rs = np.random.RandomState(seed)
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         rs.shuffle(order)
         tot_loss, tot_acc, batches = 0.0, 0.0, 0
         for i in range(0, n - batch_size + 1, batch_size):
@@ -140,4 +161,11 @@ def fit(x: np.ndarray, y: np.ndarray, epochs: int = 10, batch_size: int = 32,
         if verbose and batches:
             print(f"epoch {epoch}: loss {tot_loss / batches:.4f} "
                   f"acc {tot_acc / batches:.4f}")
+        if checkpoint_dir:
+            import json
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            ckpt.save_pytree(os.path.join(checkpoint_dir, "latest"), state)
+            with open(os.path.join(checkpoint_dir, "meta.json"), "w") as f:
+                json.dump({"epoch": epoch}, f)
     return state.params
