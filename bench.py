@@ -35,7 +35,6 @@ def main():
 
     B = 32                     # frames per device step
     HANDS_PER_FRAME = 2
-    CROP = 184                 # hand crop bucket (device upscales to 368)
 
     img = cv2.imread("/root/reference/images/demo.jpg")
     if img is None:
@@ -44,8 +43,15 @@ def main():
     hb, wb = bucket_for(h0, w0, target_h=184)
     frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
     frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
-    crop = cv2.resize(img[: min(h0, w0), : min(h0, w0)], (CROP, CROP))
-    crops = np.broadcast_to(crop, (B * HANDS_PER_FRAME, CROP, CROP, 3)).copy()
+    # hand boxes in frame coords; the fused pipeline cuts crops ON DEVICE
+    # from the one uploaded frame buffer (zero crop-upload bytes)
+    rs = np.random.RandomState(0)
+    n_boxes = B * HANDS_PER_FRAME
+    boxes = np.stack([
+        np.repeat(np.arange(B), HANDS_PER_FRAME),
+        rs.randint(0, wb - 64, n_boxes),
+        rs.randint(0, hb - 64, n_boxes),
+        np.full(n_boxes, 64)], axis=1).astype(np.int32)
 
     body = BatchedBodyPipeline(
         cpm.init_params("body25"), "body25",
@@ -53,9 +59,7 @@ def main():
         compute_dtype=jnp.bfloat16)
     hand = BatchedHandPipeline(
         cpm.init_params("hand"), HandConfig(scale_search=(1.0,)),
-        crop_size=CROP, compute_dtype=jnp.bfloat16)
-    hand_prog = hand._program(B * HANDS_PER_FRAME)
-    crops_flat = crops.reshape(-1)
+        compute_dtype=jnp.bfloat16)
 
     # Random weights produce noise heatmaps that saturate the peak tables and
     # make the (tiny, input-dependent) host grouping step look like the whole
@@ -69,9 +73,13 @@ def main():
             break
         thre1 *= 2.0
 
+    hand_prog = hand._frames_program(B, hb, wb, n_boxes)
+    boxes_dev = jnp.asarray(boxes)
+
     def dispatch():
-        return (body.device_step(frames, thre1),
-                hand_prog(hand.params, jnp.asarray(crops_flat)))
+        flat = body.upload_frames(frames)   # ONE upload feeds both programs
+        return (body.device_step_flat(flat, B, hb, wb, thre1),
+                hand_prog(hand.params, flat, boxes_dev))
 
     def consume(bp, hp):
         out = body.assemble(bp, B)  # native C++ grouping when available

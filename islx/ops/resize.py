@@ -103,3 +103,60 @@ def resize_by_factor(img: jax.Array, fy: float, fx: float,
     h_out = output_size(img.shape[-3], fy)
     w_out = output_size(img.shape[-2], fx)
     return resize_cubic(img, h_out, w_out, saturate_uint8)
+
+
+def _cubic_weight(t: jax.Array) -> jax.Array:
+    """cv2 bicubic kernel value at (possibly traced) offset t (A=-0.75)."""
+    a = jnp.abs(t)
+    w1 = ((_A + 2) * a - (_A + 3)) * a * a + 1            # |t| < 1
+    w2 = ((_A * a - 5 * _A) * a + 8 * _A) * a - 4 * _A    # 1 <= |t| < 2
+    return jnp.where(a < 1, w1, jnp.where(a < 2, w2, 0.0))
+
+
+def _dynamic_axis_matrix(n_in: int, out_size: int, start: jax.Array,
+                         width: jax.Array) -> jax.Array:
+    """[out_size, n_in] cubic interpolation matrix for a DYNAMIC crop
+    [start, start+width) resized to out_size — built on device.
+
+    TPU-native crop-and-resize: instead of dynamic_slice + per-pixel gathers
+    (slow on TPU), the whole operation becomes a dense matmul with a weight
+    matrix computed on the fly from traced (start, width) scalars. Exact cv2
+    semantics: src = start + (j+0.5)*width/out - 0.5, 4 taps, border
+    replicate (taps clamp into the crop; weights fold onto the edge).
+    """
+    start = start.astype(jnp.float32)
+    width = width.astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.float32, (out_size, 1), 0)
+    i = jax.lax.broadcasted_iota(jnp.float32, (1, n_in), 1)
+    src = start + (j + 0.5) * width / out_size - 0.5      # [out,1]
+    base = jnp.floor(src)
+    lo = start
+    hi = start + width - 1.0
+    mat = jnp.zeros((out_size, n_in), jnp.float32)
+    for d in range(-1, 3):
+        tap = base + d
+        wgt = _cubic_weight(src - tap)                     # [out,1]
+        clamped = jnp.clip(tap, lo, hi)                    # replicate border
+        mat = mat + wgt * (i == clamped)
+    return mat
+
+
+def dynamic_crop_resize(img: jax.Array, x0: jax.Array, y0: jax.Array,
+                        w: jax.Array, out_size: int,
+                        saturate_uint8: bool = True) -> jax.Array:
+    """Crop img[y0:y0+w, x0:x0+w] and cubic-resize to (out_size, out_size).
+
+    img: [H,W,C]; x0/y0/w: traced int scalars. Equivalent to
+    ``resize_cubic(img[y0:y0+w, x0:x0+w], out, out, saturate_uint8)`` but
+    with dynamic coordinates and no gathers — two MXU matmuls.
+    """
+    h, wd = img.shape[0], img.shape[1]
+    ry = _dynamic_axis_matrix(h, out_size, y0, w)
+    rx = _dynamic_axis_matrix(wd, out_size, x0, w)
+    hi = jax.lax.Precision.HIGHEST
+    x = img.astype(jnp.float32)
+    x = jnp.einsum("oh,hwc->owc", ry, x, precision=hi)
+    x = jnp.einsum("pw,owc->opc", rx, x, precision=hi)
+    if saturate_uint8:
+        x = jnp.clip(jnp.rint(x), 0.0, 255.0)
+    return x

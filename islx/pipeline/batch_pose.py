@@ -30,7 +30,7 @@ from islx.ops.hand_peaks import find_hand_peaks_fast, find_hand_peaks_refine
 from islx.ops.paf import LIMB_TABLES, compact_connections, score_limbs
 from islx.ops.peaks import find_peaks
 from islx.ops.preprocess import pad_amounts
-from islx.ops.resize import resize_cubic
+from islx.ops.resize import dynamic_crop_resize, resize_cubic
 
 
 def bucket_for(h: int, w: int, target_h: int = 184, stride: int = 8
@@ -104,6 +104,16 @@ class BatchedBodyPipeline:
                     out_shardings=M.replicated(self.mesh))
         return self._programs[key]
 
+    def upload_frames(self, frames: np.ndarray) -> jax.Array:
+        """Upload a frame batch once as a flat u8 device buffer (reusable by
+        the fused hand pipeline — one upload feeds both programs)."""
+        return jnp.asarray(np.asarray(frames).reshape(-1))
+
+    def device_step_flat(self, flat: jax.Array, b: int, hb: int, wb: int,
+                         thre1: Optional[float] = None) -> jax.Array:
+        t1 = jnp.float32(self.cfg.thre1 if thre1 is None else thre1)
+        return self._program(b, hb, wb)(self.params, flat, t1)
+
     def device_step(self, frames: np.ndarray | jax.Array,
                     thre1: Optional[float] = None) -> jax.Array:
         """frames u8 [B,Hb,Wb,3] (bucketed) -> packed flat f32 result buffer.
@@ -111,9 +121,8 @@ class BatchedBodyPipeline:
         thre1 overrides the config peak threshold (traced, no recompile).
         """
         b, hb, wb = frames.shape[0], frames.shape[1], frames.shape[2]
-        flat = jnp.asarray(np.asarray(frames).reshape(-1))
-        t1 = jnp.float32(self.cfg.thre1 if thre1 is None else thre1)
-        return self._program(b, hb, wb)(self.params, flat, t1)
+        return self.device_step_flat(self.upload_frames(frames), b, hb, wb,
+                                     thre1)
 
     def unpack(self, packed: np.ndarray, b: int):
         """Packed buffer -> (xy, score, count, pair, cscore, cok) numpy."""
@@ -257,4 +266,61 @@ class BatchedHandPipeline:
         found = packed[n * c * 2:n * c * 3].reshape(n, c) > 0.5
         coord_scale = float(packed[-1])
         xy *= coord_scale
+        return np.where(found[:, :, None], np.rint(xy).astype(np.int32), 0)
+
+    # ------------------------------------------------------------------
+    # fused mode: crops cut on-device from already-resident frames
+    # ------------------------------------------------------------------
+
+    def _frames_program(self, b: int, hb: int, wb: int, n: int):
+        """Hand program taking resident frames + dynamic boxes: no crop
+        upload at all. Crops are cut and cubic-resized straight to the
+        pyramid scale with on-device interpolation matrices
+        (islx.ops.resize.dynamic_crop_resize), then CPM + coarse-to-fine
+        peaks; peak coordinates are returned in FRAME space."""
+        key = ("frames", b, hb, wb, n)
+        if key not in self._programs:
+            cfg = self.cfg
+            cd = self.compute_dtype
+            assert len(cfg.scale_search) == 1, "fused mode is single-scale"
+            size = int(np.rint(cfg.scale_search[0] * cfg.boxsize))
+
+            def program(params, frames_flat, boxes):
+                # boxes: [N,4] i32 (frame_idx, x0, y0, w); w<=0 -> invalid
+                frames = frames_flat.reshape(b, hb, wb, 3)
+
+                def one_crop(box):
+                    fidx, x0, y0, w = box[0], box[1], box[2], box[3]
+                    frame = jax.lax.dynamic_index_in_dim(
+                        frames, fidx, axis=0, keepdims=False)
+                    return dynamic_crop_resize(frame, x0, y0,
+                                               jnp.maximum(w, 1), size)
+
+                crops = jax.vmap(one_crop)(boxes)          # [N,size,size,3]
+                x = crops / 256.0 - 0.5
+                heat = cpm.hand_forward(params, x, cd)
+                pk = jax.vmap(lambda h: find_hand_peaks_refine(
+                    h[:, :, :cfg.n_parts], cfg.thre))(heat)
+                # scale peaks from `size` coords back to frame coords
+                scale = boxes[:, 3:4].astype(jnp.float32) / size
+                xy = (pk.xy.astype(jnp.float32) * scale[:, :, None]
+                      + boxes[:, None, 1:3].astype(jnp.float32))
+                valid = (boxes[:, 3] > 0)[:, None] & pk.found
+                return jnp.concatenate([
+                    xy.reshape(-1), valid.astype(jnp.float32).reshape(-1)])
+
+            self._programs[key] = jax.jit(program)
+        return self._programs[key]
+
+    def from_frames(self, frames_flat: jax.Array, b: int, hb: int, wb: int,
+                    boxes: np.ndarray) -> np.ndarray:
+        """frames_flat: device-resident flat u8 buffer of [b,hb,wb,3];
+        boxes: [N,4] i32 (frame_idx, x0, y0, w) in frame coords, w<=0 pads.
+        -> peaks [N,21,2] int32 in frame coords ((0,0) = missing)."""
+        n = boxes.shape[0]
+        c = self.cfg.n_parts
+        packed = np.asarray(self._frames_program(b, hb, wb, n)(
+            self.params, frames_flat, jnp.asarray(boxes, jnp.int32)))
+        xy = packed[:n * c * 2].reshape(n, c, 2)
+        found = packed[n * c * 2:].reshape(n, c) > 0.5
         return np.where(found[:, :, None], np.rint(xy).astype(np.int32), 0)
