@@ -36,7 +36,28 @@ def main(argv=None):
     p.add_argument("--body-weights", default=None)
     p.add_argument("--hand-weights", default=None)
     p.add_argument("--min-prob", type=float, default=0.0)
+    p.add_argument("--batched", action="store_true",
+                   help="use the batched production pipeline "
+                        "(islx.pipeline.translate) instead of the "
+                        "reference-exact per-frame path")
+    p.add_argument("--batch", type=int, default=16)
     args = p.parse_args(argv)
+
+    if args.batched and not args.camera:
+        from islx.core import weights as W
+        from islx.pipeline.translate import BatchedTranslatePipeline
+
+        pipe = BatchedTranslatePipeline(
+            body_params=(W.load(args.body_weights, "body25")
+                         if args.body_weights else None),
+            hand_params=(W.load(args.hand_weights, "hand")
+                         if args.hand_weights else None),
+            head_params=load_head(args.head),
+            batch=args.batch)
+        for idx, cid, expr, prob in pipe.translate_video(args.video):
+            if prob >= args.min_prob:
+                print(f"{idx} {prob:0.4f} {cid}-{expr}")
+        return
 
     body = Body(args.body_weights, "body25")
     hand = Hand(args.hand_weights)

@@ -1,0 +1,180 @@
+"""Batched end-to-end ISL translation — the production config-5 pipeline.
+
+Video frames -> bucketed body batches (one device program) -> hand boxes from
+the grouped skeletons -> fused on-device hand crops (zero crop upload) ->
+156-dim features -> rolling 20-frame windows -> batched BiLSTM head.
+
+Per batch of B frames this costs ONE frame upload, two device programs, one
+tiny box upload and three small fetches — compare the reference's
+per-prediction cost of 20 full pose stacks with per-scale device round trips
+(src/ISL_Model_parameter.py:322-353, SURVEY.md §3.3).
+"""
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from islx.core.config import (HandConfig, PoseConfig, RuntimeConfig,
+                              TranslatorConfig)
+from islx.isl import features as F
+from islx.isl.expressions import EXPRESSIONS
+from islx.models import cpm
+from islx.models import translator as T
+from islx.pipeline.batch_pose import (BatchedBodyPipeline,
+                                      BatchedHandPipeline, bucket_for)
+from islx.pose.detector import hand_detect
+
+
+class BatchedTranslatePipeline:
+    """Streaming frames -> per-frame sign predictions, batch-at-a-time."""
+
+    def __init__(self,
+                 body_params: Optional[cpm.Params] = None,
+                 hand_params: Optional[cpm.Params] = None,
+                 head_params: Optional[T.Params] = None,
+                 model_type: str = "body25",
+                 pose_cfg: Optional[PoseConfig] = None,
+                 hand_cfg: Optional[HandConfig] = None,
+                 cfg: TranslatorConfig = TranslatorConfig(),
+                 batch: int = 16,
+                 max_hands_per_frame: int = 2,
+                 compute_dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.batch = batch
+        self.max_hands = max_hands_per_frame
+        self.model_type = model_type
+        self.body = BatchedBodyPipeline(
+            body_params if body_params is not None
+            else cpm.init_params(model_type),
+            model_type,
+            pose_cfg or PoseConfig(model_type=model_type, max_peaks=16),
+            compute_dtype=compute_dtype)
+        self.hand = BatchedHandPipeline(
+            hand_params if hand_params is not None
+            else cpm.init_params("hand"),
+            hand_cfg or HandConfig(scale_search=(1.0,)),
+            compute_dtype=compute_dtype)
+        self.head_params = (head_params if head_params is not None
+                            else T.init_params(cfg))
+        self._head = jax.jit(lambda p, x: T.forward(p, x))
+        self._window: List[np.ndarray] = []
+
+    def reset(self) -> None:
+        self._window.clear()
+
+    # ------------------------------------------------------------------
+
+    def _boxes_for_batch(self, results, hb: int, wb: int,
+                         orig_hw: Tuple[int, int]) -> np.ndarray:
+        """Grouped skeletons -> fixed-count hand boxes in bucket coords."""
+        h0, w0 = orig_hw
+        sy, sx = h0 / hb, w0 / wb
+        boxes = np.zeros((len(results) * self.max_hands, 4), np.int32)
+        for fidx, (cand, subset) in enumerate(results):
+            if cand.shape[0] == 0:
+                continue
+            cand_orig = cand.copy()
+            cand_orig[:, 0] *= sx
+            cand_orig[:, 1] *= sy
+            dets = hand_detect(cand_orig, subset, (h0, w0))
+            for slot, (x, y, w, _left) in enumerate(dets[: self.max_hands]):
+                # back to bucket coords for on-device cropping
+                bx = min(int(round(x / sx)), wb - 1)
+                by = min(int(round(y / sy)), hb - 1)
+                bw = max(int(round(w / sx)), 1)
+                bw = min(bw, wb - bx, hb - by)
+                boxes[fidx * self.max_hands + slot] = (fidx, bx, by, bw)
+        return boxes
+
+    def process_batch(self, frames_bucketed: np.ndarray,
+                      orig_hw: Tuple[int, int]
+                      ) -> List[np.ndarray]:
+        """u8 [B,Hb,Wb,3] -> per-frame 156-dim feature vectors (orig coords)."""
+        b, hb, wb = frames_bucketed.shape[:3]
+        h0, w0 = orig_hw
+        sy, sx = h0 / hb, w0 / wb
+        flat = self.body.upload_frames(frames_bucketed)
+        packed = self.body.device_step_flat(flat, b, hb, wb)
+        results = self.body.assemble(packed, b)
+        boxes = self._boxes_for_batch(results, hb, wb, orig_hw)
+        peaks = self.hand.from_frames(flat, b, hb, wb, boxes)  # bucket coords
+
+        feats = []
+        for fidx, (cand, subset) in enumerate(results):
+            if cand.shape[0]:
+                cand = cand.copy()
+                cand[:, 0] *= sx
+                cand[:, 1] *= sy
+            hands = []
+            for hslot in range(self.max_hands):
+                i = fidx * self.max_hands + hslot
+                if boxes[i, 3] <= 0:
+                    continue
+                pk = peaks[i].astype(np.float64)
+                pk[:, 0] = np.where(pk[:, 0] == 0, 0, pk[:, 0] * sx)
+                pk[:, 1] = np.where(pk[:, 1] == 0, 0, pk[:, 1] * sy)
+                hands.append(np.rint(pk).astype(np.int64))
+            feats.append(F.frame_features(cand, subset, hands,
+                                          self.model_type))
+        return feats
+
+    # ------------------------------------------------------------------
+
+    def translate_frames(self, frames: Iterable[np.ndarray],
+                         orig_hw: Optional[Tuple[int, int]] = None
+                         ) -> List[Tuple[int, int, str, float]]:
+        """Stream frames -> [(frame_idx, class_id, expression, prob)]."""
+        import cv2
+
+        self.reset()
+        out: List[Tuple[int, int, str, float]] = []
+        buf: List[np.ndarray] = []
+        idx0 = 0
+        hw = None
+        bucket = None
+
+        def flush(n_valid):
+            nonlocal idx0
+            batch = np.stack(buf)
+            feats = self.process_batch(batch, hw)[:n_valid]
+            windows = []
+            widx = []
+            for i, f in enumerate(feats):
+                self._window.append(f)
+                if len(self._window) > self.cfg.window_size:
+                    self._window.pop(0)
+                if len(self._window) == self.cfg.window_size:
+                    windows.append(np.stack(self._window))
+                    widx.append(idx0 + i)
+            if windows:
+                x = jnp.asarray(np.stack(windows), jnp.float32)
+                probs = np.asarray(self._head(self.head_params, x))
+                for w, pr in zip(widx, probs):
+                    cid = int(np.argmax(pr))
+                    out.append((w, cid, EXPRESSIONS[cid], float(pr[cid])))
+            idx0 += n_valid
+            buf.clear()
+
+        for frame in frames:
+            if hw is None:
+                hw = orig_hw or frame.shape[:2]
+                bucket = bucket_for(hw[0], hw[1], target_h=184)
+            buf.append(cv2.resize(frame, (bucket[1], bucket[0]),
+                                  interpolation=cv2.INTER_CUBIC))
+            if len(buf) == self.batch:
+                flush(self.batch)
+        if buf:
+            n = len(buf)
+            while len(buf) < self.batch:
+                buf.append(buf[-1])
+            flush(n)
+        return out
+
+    def translate_video(self, path: str) -> List[Tuple[int, int, str, float]]:
+        from islx.pipeline.video import FrameSource
+
+        with FrameSource(path) as src:
+            return self.translate_frames(src)

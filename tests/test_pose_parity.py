@@ -74,6 +74,58 @@ def test_body_parity(model_type, rng):
     np.testing.assert_array_equal(subset[:, -1], subset_ref[:, -1])
 
 
+@pytest.mark.parametrize("ref_compat", [False, True])
+def test_body_multiscale_averaging(rng, ref_compat):
+    """Multi-scale map averaging, incl. reproducing the reference's buggy
+    accumulation (src/body.py:80: avg += avg + heat/n) behind
+    ref_compat_averaging. Oracle: direct numpy/cv2 port of the scale loop
+    (the reference's own source hardcodes scale_search=[0.5], so its code
+    cannot execute multi-scale)."""
+    import cv2
+
+    from islx.core.config import PoseConfig
+
+    ori = (rng.rand(92, 120, 3) * 255).astype(np.uint8)
+    outs = {}
+    jax_outs = {}
+    for (hin, win), (h8, w8) in [((184, 240), (23, 30)),
+                                 ((368, 480), (46, 60))]:
+        heat = _blobby(rng, h8, w8, 26)
+        paf = _smooth_noise(rng, h8, w8, 52)
+        outs[(hin, win)] = (heat, paf)
+        jax_outs[(hin, win)] = (jnp.asarray(paf)[None], jnp.asarray(heat)[None])
+
+    # numpy oracle of src/body.py:51-81 for scales (0.5, 1.0)
+    heat_avg = np.zeros((92, 120, 26), np.float32)
+    paf_avg = np.zeros((92, 120, 52), np.float32)
+    n = 2
+    for s, (hin, win) in [(0.5, (184, 240)), (1.0, (368, 480))]:
+        heat, paf = outs[(hin, win)]
+
+        def to_orig(m):
+            m = cv2.resize(m, (0, 0), fx=8, fy=8,
+                           interpolation=cv2.INTER_CUBIC)
+            m = m[:hin, :win]
+            return cv2.resize(m, (120, 92), interpolation=cv2.INTER_CUBIC)
+
+        if ref_compat:
+            heat_avg = heat_avg + heat_avg + to_orig(heat) / n
+        else:
+            heat_avg = heat_avg + to_orig(heat) / n
+        paf_avg = paf_avg + to_orig(paf) / n
+
+    def stub_forward(params, x, compute_dtype=None):
+        return jax_outs[tuple(x.shape[1:3])]
+
+    cfg = PoseConfig(model_type="body25", scale_search=(0.5, 1.0),
+                     ref_compat_averaging=ref_compat)
+    body = Body(weights={}, model_type="body25", config=cfg,
+                forward_fn=stub_forward)
+    got_heat, got_paf = body.maps(ori)
+    assert np.abs(got_heat - heat_avg).max() < 2e-4
+    assert np.abs(got_paf - paf_avg).max() < 2e-4
+
+
 def test_hand_parity(rng):
     crop = (rng.rand(46, 46, 3) * 255).astype(np.uint8)
     # scales [.5,1,1.5,2] * 368/46 -> inputs 184/368/552/736 -> outputs 23/46/69/92

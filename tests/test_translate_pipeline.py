@@ -1,0 +1,71 @@
+"""Batched end-to-end translate pipeline: functional test with stub nets."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from islx.core.config import HandConfig, PoseConfig, TranslatorConfig
+from islx.pipeline.translate import BatchedTranslatePipeline
+
+
+@pytest.fixture
+def stubbed_pipeline(rng, monkeypatch):
+    """Pipeline whose CPM forwards return fixed blobby maps guaranteeing one
+    person with both arms (so hand boxes fire)."""
+    import islx.pipeline.batch_pose as bp
+
+    h8, w8 = 12, 8  # for 96x64 bucket
+    heat = np.zeros((h8, w8, 26), np.float32)
+    paf = np.zeros((h8, w8, 52), np.float32)
+    # joints on a grid; make all 25 joints present at distinct spots
+    spots = [(2 + (i % 5) * 2, 1 + (i // 5)) for i in range(25)]
+    yy, xx = np.mgrid[0:h8, 0:w8]
+    for c, (y, x) in enumerate(spots):
+        heat[:, :, c] = 0.9 * np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / 1.5)
+    paf[:] = 0.4  # every limb passes the PAF criteria
+
+    hand_heat = np.zeros((46, 46, 22), np.float32)
+    hand_heat[:, :, :21] = 0.7 * np.exp(
+        -((np.mgrid[0:46, 0:46][0] - 20) ** 2
+          + (np.mgrid[0:46, 0:46][1] - 23) ** 2) / 20.0)[:, :, None]
+
+    def body_fwd(params, x, compute_dtype=None):
+        b = x.shape[0]
+        return (jnp.broadcast_to(jnp.asarray(paf), (b,) + paf.shape),
+                jnp.broadcast_to(jnp.asarray(heat), (b,) + heat.shape))
+
+    def hand_fwd(params, x, compute_dtype=None):
+        b = x.shape[0]
+        hh, wh = x.shape[1] // 8, x.shape[2] // 8
+        m = jnp.asarray(hand_heat[:hh, :wh])
+        return jnp.broadcast_to(m, (b,) + m.shape)
+
+    monkeypatch.setitem(bp.cpm.FORWARDS, "body25", body_fwd)
+    monkeypatch.setattr(bp.cpm, "hand_forward", hand_fwd)
+
+    return BatchedTranslatePipeline(
+        body_params={}, hand_params={}, model_type="body25",
+        pose_cfg=PoseConfig(model_type="body25", max_peaks=8, thre2=0.01),
+        hand_cfg=HandConfig(scale_search=(1.0,)),
+        batch=4, compute_dtype=jnp.float32)
+
+
+def test_translate_stream(stubbed_pipeline, rng):
+    frames = [(rng.rand(96, 64, 3) * 255).astype(np.uint8) for _ in range(26)]
+    out = stubbed_pipeline.translate_frames(iter(frames))
+    # window fills at frame 19 -> predictions for frames 19..25
+    assert [o[0] for o in out] == list(range(19, 26))
+    for (_idx, cid, expr, prob) in out:
+        assert 0 <= cid < 167
+        assert isinstance(expr, str)
+        assert 0.0 <= prob <= 1.0
+
+
+def test_features_nonzero(stubbed_pipeline, rng):
+    frames = np.stack([(rng.rand(96, 64, 3) * 255).astype(np.uint8)
+                       for _ in range(4)])
+    feats = stubbed_pipeline.process_batch(frames, (96, 64))
+    assert len(feats) == 4
+    for f in feats:
+        assert f.shape == (156,)
+        assert np.any(f[:30] != 0)    # body features present
