@@ -116,6 +116,67 @@ def score_limbs(paf: jax.Array, peaks_xy: jax.Array, peaks_valid: jax.Array,
     return LimbScores(score=swdp, ok=ok)
 
 
+def score_limbs_mxu(paf8: jax.Array, peaks_xy: jax.Array,
+                    peaks_valid: jax.Array, limb_seq: jax.Array,
+                    map_idx: jax.Array, stride: int = 8,
+                    thre2: float = 0.05, mid_num: int = 10,
+                    orig_h: jax.Array | float = None) -> LimbScores:
+    """Production PAF scoring with zero gathers: one-hot matmuls on the MXU.
+
+    TPU gathers run near scalar speed; the reference's per-sample PAF lookup
+    (src/body.py:152-155) maps to a gather of L*K*K*mid points and dominates
+    the device pipeline. This variant samples the NET-RESOLUTION PAF
+    (paf8 [h8,w8,P], h8*w8 ~ a few hundred cells) by building a one-hot
+    [samples, cells] matrix from comparisons (VPU) and contracting it with
+    the flattened PAF (MXU), sequenced over limbs with lax.map to bound
+    memory. Peak coordinates stay full-resolution; only the (smooth,
+    x8-upsampled-anyway) PAF values are read at /8 — the line-integral
+    criteria are insensitive to this (the parity path keeps exact sampling).
+    """
+    if orig_h is None:
+        orig_h = paf8.shape[0] * stride
+    orig_h = jnp.asarray(orig_h, jnp.float32)
+    h8, w8 = paf8.shape[0], paf8.shape[1]
+    cells = h8 * w8
+    k = peaks_xy.shape[1]
+    # [cells, P] flat PAF, bf16 for the MXU contraction (values are O(1))
+    paf_flat = paf8.reshape(cells, -1)
+
+    def one(args):
+        limb, chans = args
+        a_xy = peaks_xy[limb[0]].astype(jnp.float32)      # [K,2]
+        b_xy = peaks_xy[limb[1]].astype(jnp.float32)
+        a_valid, b_valid = peaks_valid[limb[0]], peaks_valid[limb[1]]
+        vec = b_xy[None, :, :] - a_xy[:, None, :]          # [K,K,2]
+        norm = jnp.maximum(jnp.sqrt((vec * vec).sum(-1)), 0.001)
+        unit = vec / norm[..., None]
+
+        t = jnp.linspace(0.0, 1.0, mid_num)
+        pts = a_xy[:, None, None, :] + vec[:, :, None, :] * t[None, None, :, None]
+        # full-res point -> nearest /8 cell (upsample phase: src=(p+.5)/8-.5)
+        cx = jnp.clip(jnp.rint((pts[..., 0] + 0.5) / stride - 0.5),
+                      0, w8 - 1).astype(jnp.int32)
+        cy = jnp.clip(jnp.rint((pts[..., 1] + 0.5) / stride - 0.5),
+                      0, h8 - 1).astype(jnp.int32)
+        cell = (cy * w8 + cx).reshape(-1)                  # [K*K*mid]
+        onehot = (cell[:, None]
+                  == jax.lax.broadcasted_iota(jnp.int32, (1, cells), 1)
+                  ).astype(paf_flat.dtype)
+        sampled_all = jnp.einsum("ps,sc->pc", onehot, paf_flat,
+                                 preferred_element_type=jnp.float32)
+        sampled = sampled_all[:, chans].reshape(k, k, mid_num, 2)
+
+        score_mid = (sampled * unit[:, :, None, :]).sum(-1)
+        prior = jnp.minimum(0.5 * orig_h / norm - 1.0, 0.0)
+        swdp = score_mid.mean(-1) + prior
+        crit1 = (score_mid > thre2).sum(-1) > 0.8 * mid_num
+        ok = crit1 & (swdp > 0) & a_valid[:, None] & b_valid[None, :]
+        return swdp, ok
+
+    swdp, ok = jax.lax.map(one, (limb_seq, map_idx))
+    return LimbScores(score=swdp, ok=ok)
+
+
 class CompactConnections(NamedTuple):
     """Per-limb candidate pairs, pre-sorted on device.
 

@@ -27,7 +27,8 @@ from islx.core.config import HandConfig, PoseConfig
 from islx.models import cpm
 from islx.ops import grouping
 from islx.ops.hand_peaks import find_hand_peaks_fast, find_hand_peaks_refine
-from islx.ops.paf import LIMB_TABLES, compact_connections, score_limbs
+from islx.ops.paf import (LIMB_TABLES, compact_connections, score_limbs,
+                          score_limbs_mxu)
 from islx.ops.peaks import find_peaks
 from islx.ops.preprocess import pad_amounts
 from islx.ops.resize import dynamic_crop_resize, resize_cubic
@@ -46,13 +47,15 @@ class BatchedBodyPipeline:
 
     def __init__(self, params: cpm.Params, model_type: str = "body25",
                  cfg: Optional[PoseConfig] = None,
-                 compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48):
+                 compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48,
+                 paf_mode: str = "mxu"):
         self.params = params
         self.model_type = model_type
         self.cfg = cfg or PoseConfig(model_type=model_type)
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.top_m = top_m    # device-sorted connection candidates per limb
+        self.paf_mode = paf_mode  # 'mxu' (gather-free, /8 samples) | 'exact'
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
@@ -71,14 +74,23 @@ class BatchedBodyPipeline:
                 # (measured ~25MB/s vs ~1.5GB/s flat); reshape on device.
                 frames = frames_flat.reshape(b, hb, wb, 3)
                 x = frames.astype(jnp.float32) / 256.0 - 0.5
-                paf, heat = forward(params, x, cd)
-                heat = resize_cubic(heat, hb, wb)     # x8, batched over B
-                paf = resize_cubic(paf, hb, wb)
+                paf8, heat8 = forward(params, x, cd)
+                heat = resize_cubic(heat8, hb, wb)    # x8, batched over B
                 pk = jax.vmap(lambda h: find_peaks(
                     h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks))(heat)
-                cc = jax.vmap(lambda p, xy, v: compact_connections(score_limbs(
-                    p, xy, v, limb_seq, map_idx, cfg.thre2, cfg.mid_num,
-                    orig_h=jnp.float32(hb)), self.top_m))(paf, pk.xy, pk.valid)
+                if self.paf_mode == "mxu":
+                    ls_fn = lambda p8, xy, v: score_limbs_mxu(  # noqa: E731
+                        p8, xy, v, limb_seq, map_idx, cfg.stride, cfg.thre2,
+                        cfg.mid_num, orig_h=jnp.float32(hb))
+                    paf_in = paf8
+                else:
+                    paf = resize_cubic(paf8, hb, wb)
+                    ls_fn = lambda p, xy, v: score_limbs(  # noqa: E731
+                        p, xy, v, limb_seq, map_idx, cfg.thre2, cfg.mid_num,
+                        orig_h=jnp.float32(hb))
+                    paf_in = paf
+                cc = jax.vmap(lambda p, xy, v: compact_connections(
+                    ls_fn(p, xy, v), self.top_m))(paf_in, pk.xy, pk.valid)
                 # pack every output into ONE flat f32 buffer: each separate
                 # device->host fetch pays a fixed RPC round trip on tunneled
                 # TPU runtimes, so one (small) download per step.

@@ -45,6 +45,42 @@ def test_compact_matches_full(rng):
         np.testing.assert_array_equal(subset_full, subset_c)
 
 
+def test_paf_mxu_matches_exact_on_constant_channels(rng):
+    """The gather-free MXU PAF scorer equals the exact sampler whenever each
+    PAF channel is constant (cubic upsampling of a constant is constant, so
+    /8 sampling loses nothing)."""
+    import jax.numpy as jnp
+
+    from islx.ops import paf as P
+
+    h8, w8 = 12, 8
+    stride = 8
+    vals = (rng.rand(52) - 0.4).astype(np.float32)
+    paf8 = np.broadcast_to(vals, (h8, w8, 52)).copy()
+    paf_full = np.broadcast_to(vals, (h8 * stride, w8 * stride, 52)).copy()
+
+    c, k = 25, 8
+    count = rng.randint(1, 5, c)
+    xy = np.zeros((c, k, 2), np.int32)
+    valid = np.zeros((c, k), bool)
+    for ch in range(c):
+        xy[ch, :count[ch], 0] = rng.randint(0, w8 * stride, count[ch])
+        xy[ch, :count[ch], 1] = rng.randint(0, h8 * stride, count[ch])
+        valid[ch, :count[ch]] = True
+
+    exact = P.score_limbs(jnp.asarray(paf_full), jnp.asarray(xy),
+                          jnp.asarray(valid), jnp.asarray(P.LIMB_SEQ_BODY25),
+                          jnp.asarray(P.MAP_IDX_BODY25), 0.05, 10,
+                          orig_h=float(h8 * stride))
+    mxu = P.score_limbs_mxu(jnp.asarray(paf8), jnp.asarray(xy),
+                            jnp.asarray(valid), jnp.asarray(P.LIMB_SEQ_BODY25),
+                            jnp.asarray(P.MAP_IDX_BODY25), stride, 0.05, 10,
+                            orig_h=float(h8 * stride))
+    np.testing.assert_allclose(np.asarray(exact.score), np.asarray(mxu.score),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(exact.ok), np.asarray(mxu.ok))
+
+
 def test_batched_body_matches_parity_api(rng):
     """BatchedBodyPipeline on a bucket-sized frame == Body() on the same frame
     (same stubbed net outputs, orig == bucket so no coordinate scaling)."""
@@ -70,7 +106,8 @@ def test_batched_body_matches_parity_api(rng):
     body = Body(weights={}, model_type="body25", config=cfg, forward_fn=stub)
     cand_ref, subset_ref = body(frame)
 
-    pipe = BatchedBodyPipeline({}, "body25", cfg, compute_dtype=jnp.float32)
+    pipe = BatchedBodyPipeline({}, "body25", cfg, compute_dtype=jnp.float32,
+                               paf_mode="exact")
     pipe_forward = stub
     import islx.pipeline.batch_pose as bp
 
