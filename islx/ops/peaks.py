@@ -51,9 +51,30 @@ def _nms_mask(b: jax.Array, thre1: float) -> jax.Array:
     return (b >= up) & (b >= down) & (b >= left) & (b >= right) & (b > thre1)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+def _k_smallest(keyed: jax.Array, k: int, two_stage: bool) -> jax.Array:
+    """K smallest values per row of [C, N] (sentinel = N)."""
+    c, n = keyed.shape
+    if not two_stage:
+        neg, _ = jax.lax.top_k(-keyed, k)
+        return -neg
+    # Hierarchical: per-block top-8, then global top-k over block winners.
+    # Exact unless some block holds >8 peaks — NMS peaks are 4-isolated and
+    # thresholded, so a ~12-row block with >8 peaks means pathological noise
+    # (production path only; the parity path uses the exact single stage).
+    kb = min(8, k)
+    block = 2048
+    nb = -(-n // block)
+    pad = nb * block - n
+    padded = jnp.pad(keyed, ((0, 0), (0, pad)), constant_values=n)
+    blocks = padded.reshape(c, nb, block)
+    neg, _ = jax.lax.top_k(-blocks, kb)                   # [C, nb, kb]
+    neg2, _ = jax.lax.top_k(neg.reshape(c, nb * kb), k)
+    return -neg2
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def find_peaks(heatmap: jax.Array, thre1: float, k: int = 32,
-               sigma: float = 3.0) -> Peaks:
+               sigma: float = 3.0, two_stage: bool = False) -> Peaks:
     """heatmap: [H,W,C] averaged (unblurred) heatmaps -> Peaks over C channels.
 
     The caller passes only the joint channels (reference drops the background
@@ -68,8 +89,7 @@ def find_peaks(heatmap: jax.Array, thre1: float, k: int = 32,
     # top_k of negated index over masked positions -> K smallest flat indices
     # (row-major order). Invalid slots get index h*w (sentinel).
     keyed = jnp.where(flat_mask, flat_idx[None, :], h * w)
-    neg, _ = jax.lax.top_k(-keyed, k)
-    idx = -neg                                            # [C,K] ascending
+    idx = _k_smallest(keyed, k, two_stage)                # [C,K] ascending
     valid = idx < h * w
     idx = jnp.where(valid, idx, 0)
     y = idx // w

@@ -48,7 +48,7 @@ class BatchedBodyPipeline:
     def __init__(self, params: cpm.Params, model_type: str = "body25",
                  cfg: Optional[PoseConfig] = None,
                  compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48,
-                 paf_mode: str = "mxu"):
+                 paf_mode: str = "mxu", two_stage_peaks: bool = True):
         self.params = params
         self.model_type = model_type
         self.cfg = cfg or PoseConfig(model_type=model_type)
@@ -56,6 +56,7 @@ class BatchedBodyPipeline:
         self.mesh = mesh
         self.top_m = top_m    # device-sorted connection candidates per limb
         self.paf_mode = paf_mode  # 'mxu' (gather-free, /8 samples) | 'exact'
+        self.two_stage_peaks = two_stage_peaks
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
@@ -77,7 +78,8 @@ class BatchedBodyPipeline:
                 paf8, heat8 = forward(params, x, cd)
                 heat = resize_cubic(heat8, hb, wb)    # x8, batched over B
                 pk = jax.vmap(lambda h: find_peaks(
-                    h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks))(heat)
+                    h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks,
+                    two_stage=self.two_stage_peaks))(heat)
                 if self.paf_mode == "mxu":
                     ls_fn = lambda p8, xy, v: score_limbs_mxu(  # noqa: E731
                         p8, xy, v, limb_seq, map_idx, cfg.stride, cfg.thre2,

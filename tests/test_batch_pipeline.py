@@ -107,7 +107,7 @@ def test_batched_body_matches_parity_api(rng):
     cand_ref, subset_ref = body(frame)
 
     pipe = BatchedBodyPipeline({}, "body25", cfg, compute_dtype=jnp.float32,
-                               paf_mode="exact")
+                               paf_mode="exact", two_stage_peaks=False)
     pipe_forward = stub
     import islx.pipeline.batch_pose as bp
 
