@@ -65,14 +65,16 @@ def _label_components(binary: jax.Array, steps_per_check: int = 16
     return lab
 
 
-def _one_part(map_ori: jax.Array, blurred: jax.Array, thre: float):
+def _one_part(map_ori: jax.Array, blurred: jax.Array, thre: float,
+              lab: jax.Array | None = None):
     """map_ori/blurred: [H,W] -> ((x, y) int32, found bool)."""
     h, w = map_ori.shape
     hw = h * w
     binary = blurred > thre
     found = jnp.any(binary)
 
-    lab = _label_components(binary)
+    if lab is None:
+        lab = _label_components(binary)
     flat_lab = lab.reshape(-1)
     flat_map = map_ori.reshape(-1)
     # per-component sums of the UNBLURRED map (src/hand.py:68)
@@ -92,13 +94,27 @@ def _one_part(map_ori: jax.Array, blurred: jax.Array, thre: float):
     return xy, found
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def find_hand_peaks(heatmap: jax.Array, thre: float = 0.05,
-                    sigma: float = 3.0) -> HandPeaks:
-    """heatmap: [H,W,C] averaged hand heatmaps (first 21 channels are parts)."""
+                    sigma: float = 3.0, use_pallas: bool = False) -> HandPeaks:
+    """heatmap: [H,W,C] averaged hand heatmaps (first 21 channels are parts).
+
+    use_pallas: run the CC labelling as one Pallas kernel over all channels
+    (labels stay in VMEM across propagation sweeps) instead of per-channel
+    XLA reduce_window loops. Identical results.
+    """
     blurred = gaussian_blur(heatmap, sigma)
-    xy, found = jax.vmap(
-        lambda m, b: _one_part(m, b, thre), in_axes=(2, 2))(heatmap, blurred)
+    if use_pallas:
+        from islx.ops.pallas_cc import label_components_pallas
+
+        labels = label_components_pallas(blurred > thre)
+        xy, found = jax.vmap(
+            lambda m, b, l: _one_part(m, b, thre, l),
+            in_axes=(2, 2, 2))(heatmap, blurred, labels)
+    else:
+        xy, found = jax.vmap(
+            lambda m, b: _one_part(m, b, thre),
+            in_axes=(2, 2))(heatmap, blurred)
     return HandPeaks(xy=xy, found=found)
 
 
