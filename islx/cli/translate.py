@@ -19,6 +19,8 @@ def load_head(path):
         return None
     if path.endswith((".keras", ".h5")):
         return T.load_keras(path)
+    if path.endswith(".npz"):
+        return T.load_npz(path)
     raise ValueError(f"unsupported head checkpoint: {path}")
 
 

@@ -73,14 +73,3 @@ class TranslatorConfig:
     n_hand_points: int = 21
 
 
-@dataclasses.dataclass(frozen=True)
-class RuntimeConfig:
-    """Execution knobs for the TPU pipeline (no reference equivalent)."""
-
-    compute_dtype: str = "bfloat16"     # conv trunk compute dtype
-    param_dtype: str = "float32"
-    batch_size: int = 8                 # frames per device step
-    hand_crop_size: int = 368           # fixed square bucket for batched hand crops
-    max_people: int = 8
-    data_axis: str = "data"
-    model_axis: str = "model"

@@ -241,3 +241,46 @@ def load_keras(path: str) -> Params:
     weight_lists = [layer.get_weights() for layer in model.layers
                     if layer.get_weights()]
     return from_keras_weights(weight_lists)
+
+
+def to_keras_weights(params: Params) -> list:
+    """Inverse of :func:`from_keras_weights`: per-layer get_weights() lists
+    (lets an islx-trained head run in the reference's keras stack — the
+    counterpart of reference model_converter.py)."""
+    out = []
+    for ours in _LAYER_ORDER:
+        if isinstance(ours, tuple):
+            fwd, bwd = ours
+            out.append([np.asarray(params[fwd]["kernel"]),
+                        np.asarray(params[fwd]["recurrent"]),
+                        np.asarray(params[fwd]["bias"]),
+                        np.asarray(params[bwd]["kernel"]),
+                        np.asarray(params[bwd]["recurrent"]),
+                        np.asarray(params[bwd]["bias"])])
+        elif ours.startswith("bn"):
+            p = params[ours]
+            out.append([np.asarray(p["gamma"]), np.asarray(p["beta"]),
+                        np.asarray(p["mean"]), np.asarray(p["var"])])
+        else:
+            p = params[ours]
+            ws = [np.asarray(p["kernel"])]
+            if "bias" in p:
+                ws.append(np.asarray(p["bias"]))
+            out.append(ws)
+    return out
+
+
+def save_npz(path: str, params: Params) -> None:
+    """islx-native head checkpoint."""
+    flat = {f"{name}/{k}": np.asarray(v)
+            for name, entry in params.items() for k, v in entry.items()}
+    np.savez(path, **flat)
+
+
+def load_npz(path: str) -> Params:
+    data = np.load(path)
+    params: Params = {}
+    for key in data.files:
+        name, k = key.split("/")
+        params.setdefault(name, {})[k] = jnp.asarray(data[key])
+    return params

@@ -17,8 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from islx.core.config import (HandConfig, PoseConfig, RuntimeConfig,
-                              TranslatorConfig)
+from islx.core.config import HandConfig, PoseConfig, TranslatorConfig
 from islx.isl import features as F
 from islx.isl.expressions import EXPRESSIONS
 from islx.models import cpm
