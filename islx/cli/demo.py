@@ -3,8 +3,11 @@
 Equivalent of reference demo.py / demo_batch.py:
 
     python -m islx.cli.demo IMAGE [--body-weights W] [--hand-weights W]
-           [--model-type body25|coco] [--out OUT.png]
+           [--model-type body25|coco] [--out OUT.png] [--exact]
 
+Default: production pipelines (two fixed device programs, <=1px vs exact).
+--exact: the reference-parity per-image path — compiles one program per image
+size AND per hand-crop size, so first-run latency is minutes.
 Without weights the nets run randomly initialized (pipeline smoke test).
 """
 from __future__ import annotations
@@ -15,6 +18,15 @@ import os
 
 
 def build_pose(args):
+    if not args.exact:
+        from islx.core import weights as W
+        from islx.pipeline.image import ImagePose
+
+        return ImagePose(
+            W.load(args.body_weights, args.model_type)
+            if args.body_weights else None,
+            W.load(args.hand_weights, "hand") if args.hand_weights else None,
+            args.model_type)
     from islx.isl.translator import ISLSignPos
     from islx.pose.body import Body
     from islx.pose.hand import Hand
@@ -43,16 +55,24 @@ def main(argv=None):
                    choices=["body25", "coco"])
     p.add_argument("--out", default=None,
                    help="output path (single image) or directory")
+    p.add_argument("--exact", action="store_true",
+                   help="reference-parity per-image path (slow first run)")
     args = p.parse_args(argv)
 
     paths = []
     for pat in args.images:
         paths.extend(sorted(glob.glob(pat)) or [pat])
+    # validate inputs BEFORE building models (model build compiles on device)
+    readable = {p: cv2.imread(p) for p in paths}
+    missing = [p for p, img in readable.items() if img is None]
+    for p in missing:
+        print(f"cannot read {p}")
+    if all(img is None for img in readable.values()):
+        raise SystemExit(1)
     pose = build_pose(args)
     for path in paths:
-        img = cv2.imread(path)
+        img = readable[path]
         if img is None:
-            print(f"cannot read {path}")
             continue
         canvas, (candidate, subset, hands) = process_image(
             pose, img, args.model_type)

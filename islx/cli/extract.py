@@ -14,9 +14,6 @@ import argparse
 
 def main(argv=None):
     from islx.isl.extract import ExtractConfig, extract_dataset
-    from islx.isl.translator import ISLSignPos
-    from islx.pose.body import Body
-    from islx.pose.hand import Hand
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("csv")
@@ -28,10 +25,26 @@ def main(argv=None):
     p.add_argument("--path-col", default="Filepath")
     p.add_argument("--sticks", action="store_true",
                    help="also write stick-figure JPGs per frame")
+    p.add_argument("--exact", action="store_true",
+                   help="reference-parity per-frame path (compiles per "
+                        "image/crop size; the default production path uses "
+                        "two fixed device programs)")
     args = p.parse_args(argv)
 
-    pose = ISLSignPos(Body(args.body_weights, "body25"),
-                      Hand(args.hand_weights))
+    if args.exact:
+        from islx.isl.translator import ISLSignPos
+        from islx.pose.body import Body
+        from islx.pose.hand import Hand
+
+        pose = ISLSignPos(Body(args.body_weights, "body25"),
+                          Hand(args.hand_weights))
+    else:
+        from islx.core import weights as W
+        from islx.pipeline.image import ImagePose
+
+        pose = ImagePose(
+            W.load(args.body_weights, "body25") if args.body_weights else None,
+            W.load(args.hand_weights, "hand") if args.hand_weights else None)
     cfg = ExtractConfig(out_root=args.out_dir, write_sticks=args.sticks)
     out = extract_dataset(cfg, pose, args.csv, args.shard_index,
                           args.num_shards, args.path_col)

@@ -45,6 +45,14 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     args = p.parse_args(argv)
 
+    if not args.camera:
+        import os
+
+        if args.video is None:
+            p.error("VIDEO is required unless --camera is given")
+        if not os.path.exists(args.video):
+            p.error(f"no such video: {args.video}")
+
     if args.batched and not args.camera:
         from islx.core import weights as W
         from islx.pipeline.translate import BatchedTranslatePipeline
