@@ -61,6 +61,76 @@ def test_translate_stream(stubbed_pipeline, rng):
         assert 0.0 <= prob <= 1.0
 
 
+def test_image_pose(rng, monkeypatch):
+    """ImagePose (production single-image path) returns the pose triple."""
+    import islx.pipeline.batch_pose as bp
+    from islx.pipeline.image import ImagePose
+
+    h8, w8 = 23, 16
+    heat = np.zeros((h8, w8, 26), np.float32)
+    paf = np.full((h8, w8, 52), 0.4, np.float32)
+    yy, xx = np.mgrid[0:h8, 0:w8]
+    for c in range(25):
+        y, x = 2 + (c % 5) * 4, 2 + (c // 5) * 3
+        heat[:, :, c] = 0.9 * np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / 1.5)
+
+    def body_fwd(params, x, compute_dtype=None):
+        b = x.shape[0]
+        return (jnp.broadcast_to(jnp.asarray(paf), (b,) + paf.shape),
+                jnp.broadcast_to(jnp.asarray(heat), (b,) + heat.shape))
+
+    def hand_fwd(params, x, compute_dtype=None):
+        b, hh, wh = x.shape[0], x.shape[1] // 8, x.shape[2] // 8
+        m = np.zeros((hh, wh, 22), np.float32)
+        m[hh // 2, wh // 2, :21] = 0.9
+        return jnp.broadcast_to(jnp.asarray(m), (b,) + m.shape)
+
+    monkeypatch.setitem(bp.cpm.FORWARDS, "body25", body_fwd)
+    monkeypatch.setattr(bp.cpm, "hand_forward", hand_fwd)
+
+    pose = ImagePose(body_params={}, hand_params={},
+                     compute_dtype=jnp.float32)
+    img = (rng.rand(368, 256, 3) * 255).astype(np.uint8)
+    candidate, subset, hands = pose(img)
+    assert candidate.shape[1] == 4
+    assert subset.shape[0] >= 1          # dense PAF connects one person
+    # coordinates scaled back to original image space
+    assert candidate[:, 0].max() <= 256 and candidate[:, 1].max() <= 368
+
+
+def test_batched_body_coco(rng):
+    """The batched pipeline also serves the COCO-18 model family."""
+    import islx.pipeline.batch_pose as bp
+    from islx.core.config import PoseConfig
+    from islx.pipeline.batch_pose import BatchedBodyPipeline
+
+    h8, w8 = 12, 8
+    heat = np.zeros((h8, w8, 19), np.float32)
+    paf = np.full((h8, w8, 38), 0.3, np.float32)
+    yy, xx = np.mgrid[0:h8, 0:w8]
+    for c in range(18):
+        y, x = 1 + (c % 4) * 3, 1 + (c // 4) * 2
+        heat[:, :, c] = 0.8 * np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / 1.2)
+
+    def coco_fwd(params, x, compute_dtype=None):
+        b = x.shape[0]
+        return (jnp.broadcast_to(jnp.asarray(paf), (b,) + paf.shape),
+                jnp.broadcast_to(jnp.asarray(heat), (b,) + heat.shape))
+
+    orig = bp.cpm.FORWARDS["coco"]
+    bp.cpm.FORWARDS["coco"] = coco_fwd
+    try:
+        pipe = BatchedBodyPipeline({}, "coco",
+                                   PoseConfig(model_type="coco", max_peaks=8),
+                                   compute_dtype=jnp.float32)
+        out = pipe(np.zeros((2, 96, 64, 3), np.uint8))
+    finally:
+        bp.cpm.FORWARDS["coco"] = orig
+    for cand, subset in out:
+        assert cand.shape[1] == 4
+        assert subset.shape[1] == 20     # njoint 19 + 1
+
+
 def test_features_nonzero(stubbed_pipeline, rng):
     frames = np.stack([(rng.rand(96, 64, 3) * 255).astype(np.uint8)
                        for _ in range(4)])
