@@ -29,7 +29,6 @@ def main():
 
     from islx.core.config import HandConfig, PoseConfig
     from islx.models import cpm
-    from islx.ops import grouping
     from islx.pipeline.batch_pose import (BatchedBodyPipeline,
                                           BatchedHandPipeline, bucket_for)
 

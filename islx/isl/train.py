@@ -12,7 +12,6 @@ compile-time loss equivalent.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax

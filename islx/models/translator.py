@@ -16,7 +16,6 @@ here :mod:`islx.isl.train` trains it data-parallel over a device mesh.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -7,12 +7,11 @@ one jitted program spans all chips, frames sharded along ``data``).
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from islx.models import cpm
 from islx.parallel import mesh as M

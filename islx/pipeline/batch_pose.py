@@ -16,8 +16,7 @@ pyramid is configurable (reference-compat 4 scales or a fast single scale).
 """
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ per-prediction cost of 20 full pose stacks with per-scale device round trips
 """
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ import json
 import shutil
 import subprocess
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 

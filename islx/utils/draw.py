@@ -13,7 +13,7 @@ from __future__ import annotations
 import colorsys
 import copy
 import math
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import cv2
 import numpy as np
