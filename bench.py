@@ -86,7 +86,7 @@ def main():
 
     consume(*dispatch())  # compile + warm
 
-    n_iters = 6
+    n_iters = 10
     t0 = time.perf_counter()
     bp, hp = dispatch()
     for _ in range(n_iters - 1):
