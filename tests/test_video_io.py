@@ -1,0 +1,47 @@
+"""Video IO round trips (cv2 fallback paths; ffmpeg absent in CI)."""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from islx.pipeline.video import FrameSource, FrameWriter, probe
+
+
+@pytest.fixture
+def clip(tmp_path, rng):
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 12, (64, 48))
+    assert w.isOpened()
+    frames = [(rng.rand(48, 64, 3) * 255).astype(np.uint8) for _ in range(9)]
+    for f in frames:
+        w.write(f)
+    w.release()
+    return path, frames
+
+
+def test_probe(clip):
+    path, frames = clip
+    meta = probe(path)
+    assert (meta.width, meta.height) == (64, 48)
+    assert abs(meta.fps - 12) < 0.5
+    assert meta.n_frames in (-1, 9)
+
+
+def test_source_reads_all(clip):
+    path, frames = clip
+    with FrameSource(path) as src:
+        got = list(src)
+    assert len(got) == 9
+    assert got[0].shape == (48, 64, 3)
+
+
+def test_writer_roundtrip(tmp_path, clip):
+    path, frames = clip
+    out = str(tmp_path / "out.mp4")
+    with FrameWriter(out, 12, (48, 64)) as w:
+        for f in frames:
+            w(f)
+    meta = probe(out)
+    assert (meta.width, meta.height) == (64, 48)
+    with FrameSource(out) as src:
+        assert len(list(src)) == 9
