@@ -1,0 +1,136 @@
+"""Pose-net training: CPM heatmap/PAF regression, data-parallel over a mesh.
+
+The reference freezes all pose parameters and ships no training
+(src/model.py:167-168,298-299,391-392 set requires_grad=False); islx makes
+the trunks trainable: standard OpenPose-style supervision — MSE between
+predicted and target heatmaps/PAFs at network resolution — with batches
+sharded along the mesh ``data`` axis and gradients psum-reduced by XLA.
+
+Intended uses: fine-tuning converted checkpoints on domain video (signers,
+lighting), or training from scratch on COCO-format keypoint data prepared by
+the user.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from islx.models import cpm
+from islx.parallel import mesh as M
+
+
+class PoseTrainState(NamedTuple):
+    params: cpm.Params
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    return optax.adam(lr)
+
+
+def loss_fn(params: cpm.Params, x: jax.Array, heat_t: jax.Array,
+            paf_t: jax.Array, model_type: str,
+            compute_dtype=jnp.bfloat16) -> Tuple[jax.Array, Dict]:
+    """x [B,H,W,3] normalized; targets at net resolution [B,H/8,W/8,C]."""
+    if model_type == "hand":
+        heat = cpm.hand_forward(params, x, compute_dtype)
+        heat_loss = jnp.mean((heat - heat_t) ** 2)
+        return heat_loss, {"loss": heat_loss, "heat_loss": heat_loss}
+    paf, heat = cpm.FORWARDS[model_type](params, x, compute_dtype)
+    heat_loss = jnp.mean((heat - heat_t) ** 2)
+    paf_loss = jnp.mean((paf - paf_t) ** 2)
+    loss = heat_loss + paf_loss
+    return loss, {"loss": loss, "heat_loss": heat_loss, "paf_loss": paf_loss}
+
+
+def make_train_step(optimizer: optax.GradientTransformation,
+                    model_type: str = "body25", mesh=None,
+                    compute_dtype=jnp.bfloat16):
+    """step(state, x, heat_t, paf_t) -> (state, metrics); dp-sharded with a
+    mesh (params replicated, batch along the data axis)."""
+
+    def step(state: PoseTrainState, x, heat_t, paf_t):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, x, heat_t, paf_t,
+                                      model_type, compute_dtype)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        return PoseTrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(step)
+    data = M.batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(None, data, data, data),
+                   out_shardings=None)
+
+
+def init_state(model_type: str = "body25",
+               optimizer: Optional[optax.GradientTransformation] = None,
+               key: Optional[jax.Array] = None
+               ) -> Tuple[PoseTrainState, optax.GradientTransformation]:
+    optimizer = optimizer or make_optimizer()
+    params = cpm.init_params(model_type, key)
+    return PoseTrainState(params, optimizer.init(params), jnp.int32(0)), \
+        optimizer
+
+
+def gaussian_heatmap_targets(keypoints: np.ndarray, visible: np.ndarray,
+                             h8: int, w8: int, stride: int = 8,
+                             sigma: float = 7.0) -> np.ndarray:
+    """Ground-truth heatmaps from keypoint annotations.
+
+    keypoints [B,C,2] (x, y) in input-pixel coords; visible [B,C] bool ->
+    [B,h8,w8,C+1] with the standard background channel = 1 - max(joints).
+    """
+    b, c = keypoints.shape[:2]
+    yy, xx = np.mgrid[0:h8, 0:w8].astype(np.float32)
+    grid_x = xx * stride + stride / 2 - 0.5
+    grid_y = yy * stride + stride / 2 - 0.5
+    out = np.zeros((b, h8, w8, c + 1), np.float32)
+    for i in range(b):
+        for j in range(c):
+            if not visible[i, j]:
+                continue
+            d2 = ((grid_x - keypoints[i, j, 0]) ** 2
+                  + (grid_y - keypoints[i, j, 1]) ** 2)
+            out[i, :, :, j] = np.maximum(out[i, :, :, j],
+                                         np.exp(-d2 / (2 * sigma ** 2)))
+        out[i, :, :, c] = 1.0 - out[i, :, :, :c].max(axis=-1)
+    return out
+
+
+def paf_targets(limbs_xy: np.ndarray, valid: np.ndarray, h8: int, w8: int,
+                stride: int = 8, width: float = 1.0) -> np.ndarray:
+    """Ground-truth PAFs from limb segments.
+
+    limbs_xy [B,L,2,2] ((x1,y1),(x2,y2)) input-pixel coords; valid [B,L] ->
+    [B,h8,w8,2L] unit vectors within ``width`` cells of each segment.
+    """
+    b, l = limbs_xy.shape[:2]
+    yy, xx = np.mgrid[0:h8, 0:w8].astype(np.float32)
+    gx = xx + 0.5
+    gy = yy + 0.5
+    out = np.zeros((b, h8, w8, 2 * l), np.float32)
+    for i in range(b):
+        for k in range(l):
+            if not valid[i, k]:
+                continue
+            (x1, y1), (x2, y2) = limbs_xy[i, k] / stride
+            dx, dy = x2 - x1, y2 - y1
+            norm = max(np.hypot(dx, dy), 1e-6)
+            ux, uy = dx / norm, dy / norm
+            # distance from each cell to the segment
+            t = np.clip(((gx - x1) * ux + (gy - y1) * uy) / norm, 0, 1)
+            px, py = x1 + t * norm * ux, y1 + t * norm * uy
+            d = np.hypot(gx - px, gy - py)
+            m = d <= width
+            out[i, :, :, 2 * k] = np.where(m, ux, out[i, :, :, 2 * k])
+            out[i, :, :, 2 * k + 1] = np.where(m, uy, out[i, :, :, 2 * k + 1])
+    return out
