@@ -19,6 +19,14 @@ _LAZY = {
     "Body": ("islx.pose.body", "Body"),
     "Hand": ("islx.pose.hand", "Hand"),
     "hand_detect": ("islx.pose.detector", "hand_detect"),
+    "ImagePose": ("islx.pipeline.image", "ImagePose"),
+    "ISLSignPos": ("islx.isl.translator", "ISLSignPos"),
+    "ISLTranslator": ("islx.isl.translator", "ISLTranslator"),
+    "BatchedBodyPipeline": ("islx.pipeline.batch_pose", "BatchedBodyPipeline"),
+    "BatchedHandPipeline": ("islx.pipeline.batch_pose", "BatchedHandPipeline"),
+    "BatchedTranslatePipeline": ("islx.pipeline.translate",
+                                 "BatchedTranslatePipeline"),
+    "EXPRESSIONS": ("islx.isl.expressions", "EXPRESSIONS"),
 }
 
 

@@ -81,6 +81,42 @@ def test_paf_mxu_matches_exact_on_constant_channels(rng):
     np.testing.assert_array_equal(np.asarray(exact.ok), np.asarray(mxu.ok))
 
 
+def test_batched_hand_multiscale_averaging(rng):
+    """The 4-scale batched hand branch averages per-scale heatmaps with the
+    CORRECT mean (reference src/hand.py:56) before peak extraction."""
+    import islx.pipeline.batch_pose as bp
+    from islx.core.config import HandConfig
+    from islx.pipeline.batch_pose import BatchedHandPipeline
+
+    s0 = 46  # tiny crop bucket; scales 0.5/1.0 -> inputs 184, 368
+    peak_by_size = {184: (5, 7), 368: (30, 20)}  # (y8, x8) per scale
+
+    def hand_fwd(params, x, compute_dtype=None):
+        b, size = x.shape[0], x.shape[1]
+        hh = size // 8
+        m = np.zeros((hh, hh, 22), np.float32)
+        y8, x8 = peak_by_size[size]
+        m[y8, x8, :21] = 8.0 if size == 184 else 3.0  # survive the s=3 blur
+        return jnp.broadcast_to(jnp.asarray(m), (b, hh, hh, 22))
+
+    orig = bp.cpm.hand_forward
+    bp.cpm.hand_forward = hand_fwd
+    try:
+        hand = BatchedHandPipeline(
+            {}, HandConfig(scale_search=(0.5, 1.0)), crop_size=s0,
+            compute_dtype=jnp.float32)
+        crops = (rng.rand(2, s0, s0, 3) * 255).astype(np.uint8)
+        peaks = hand(crops)
+    finally:
+        bp.cpm.hand_forward = orig
+    # scale-0.5 peak has amplitude 1.0 vs 0.4: after the (correct) mean the
+    # 0.5-scale blob dominates. Its /8 cell (5,7) at input 184 maps to crop
+    # coords ~ (7*8+4)*(46/184), (5*8+4)*(46/184) = (15, 11).
+    for n in range(2):
+        x, y = peaks[n, 0]
+        assert abs(x - 15) <= 2 and abs(y - 11) <= 2, peaks[n, 0]
+
+
 def test_batched_body_matches_parity_api(rng):
     """BatchedBodyPipeline on a bucket-sized frame == Body() on the same frame
     (same stubbed net outputs, orig == bucket so no coordinate scaling)."""
