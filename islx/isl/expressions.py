@@ -1,181 +1,38 @@
-"""ISL expression vocabulary: 167 INCLUDE-dataset sign classes.
+"""ISL expression vocabulary: the 167 INCLUDE-dataset sign classes.
 
-Class-id -> expression table reproduced from the reference
-(src/expression_mapping.py:1-168) — ids must match so translator outputs
-are interchangeable. Stored id-sorted; this is dataset metadata, not code.
+Class ids are contiguous 0..166; the id->name table matches the reference
+(src/expression_mapping.py:1-168) so translator outputs are interchangeable.
+This is dataset metadata, not code.
 """
 
-EXPRESSIONS = {
-    0: "Adult",
-    1: "Afternoon",
-    2: "Alright",
-    3: "Attack",
-    4: "Bag",
-    5: "Ball",
-    6: "Bank",
-    7: "Bathroom",
-    8: "Beautiful",
-    9: "Bed",
-    10: "Bedroom",
-    11: "Bill",
-    12: "Blind",
-    13: "Book",
-    14: "Box",
-    15: "Card",
-    16: "Chair",
-    17: "Child",
-    18: "City",
-    19: "Court",
-    20: "Crowd",
-    21: "Deaf",
-    22: "Death",
-    23: "Door",
-    24: "Dream",
-    25: "Election",
-    26: "Energy",
-    27: "Evening",
-    28: "Ex. Monsoon",
-    29: "Exercise",
-    30: "Fall",
-    31: "Friend",
-    32: "Gift",
-    33: "God",
-    34: "Ground",
-    35: "Gun",
-    36: "Hello",
-    37: "Hospital",
-    38: "Hour",
-    39: "House",
-    40: "How are you",
-    41: "I",
-    42: "India",
-    43: "Key",
-    44: "Kitchen",
-    45: "Letter",
-    46: "Library",
-    47: "Location",
-    48: "Lock",
-    49: "Market",
-    50: "Marriage",
-    51: "Mean",
-    52: "Medicine",
-    53: "Minute",
-    54: "Money",
-    55: "Month",
-    56: "Morning",
-    57: "Newspaper",
-    58: "Nice",
-    59: "Night",
-    60: "Office",
-    61: "Page",
-    62: "Paint",
-    63: "Paper",
-    64: "Park",
-    65: "Peace",
-    66: "Pen",
-    67: "Pencil",
-    68: "Photograph",
-    69: "Player",
-    70: "Pleased",
-    71: "Price",
-    72: "Queen",
-    73: "Race (ethnicity)",
-    74: "Religion",
-    75: "Restaurant",
-    76: "Ring",
-    77: "School",
-    78: "Science",
-    79: "Season",
-    80: "Second",
-    81: "Sign",
-    82: "Soap",
-    83: "Sport",
-    84: "Spring",
-    85: "Store or Shop",
-    86: "Street or Road",
-    87: "Summer",
-    88: "Sunday",
-    89: "Table",
-    90: "Team",
-    91: "Technology",
-    92: "Telephone",
-    93: "Temple",
-    94: "Time",
-    95: "Today",
-    96: "Tomorrow",
-    97: "Tool",
-    98: "Train Station",
-    99: "Ugly",
-    100: "University",
-    101: "War",
-    102: "Week",
-    103: "Window",
-    104: "Winter",
-    105: "Year",
-    106: "Yesterday",
-    107: "alive",
-    108: "bad",
-    109: "big large",
-    110: "cheap",
-    111: "clean",
-    112: "cold",
-    113: "cool",
-    114: "curved",
-    115: "dead",
-    116: "deep",
-    117: "dirty",
-    118: "dry",
-    119: "expensive",
-    120: "famous",
-    121: "fast",
-    122: "female",
-    123: "flat",
-    124: "good",
-    125: "happy",
-    126: "hard",
-    127: "he",
-    128: "healthy",
-    129: "heavy",
-    130: "high",
-    131: "hot",
-    132: "it",
-    133: "light",
-    134: "long",
-    135: "loose",
-    136: "loud",
-    137: "low",
-    138: "male",
-    139: "narrow",
-    140: "new",
-    141: "old",
-    142: "poor",
-    143: "quiet",
-    144: "rich",
-    145: "sad",
-    146: "shallow",
-    147: "she",
-    148: "short",
-    149: "sick",
-    150: "slow",
-    151: "small little",
-    152: "soft",
-    153: "strong",
-    154: "tall",
-    155: "they",
-    156: "thick",
-    157: "thin",
-    158: "tight",
-    159: "warm",
-    160: "we",
-    161: "weak",
-    162: "wet",
-    163: "wide",
-    164: "you",
-    165: "you (plural)",
-    166: "young",
-}
+_NAMES = [
+    "Adult", "Afternoon", "Alright", "Attack", "Bag", "Ball", "Bank",
+    "Bathroom", "Beautiful", "Bed", "Bedroom", "Bill", "Blind", "Book",
+    "Box", "Card", "Chair", "Child", "City", "Court", "Crowd", "Deaf",
+    "Death", "Door", "Dream", "Election", "Energy", "Evening", "Ex. Monsoon",
+    "Exercise", "Fall", "Friend", "Gift", "God", "Ground", "Gun", "Hello",
+    "Hospital", "Hour", "House", "How are you", "I", "India", "Key",
+    "Kitchen", "Letter", "Library", "Location", "Lock", "Market", "Marriage",
+    "Mean", "Medicine", "Minute", "Money", "Month", "Morning", "Newspaper",
+    "Nice", "Night", "Office", "Page", "Paint", "Paper", "Park", "Peace",
+    "Pen", "Pencil", "Photograph", "Player", "Pleased", "Price", "Queen",
+    "Race (ethnicity)", "Religion", "Restaurant", "Ring", "School",
+    "Science", "Season", "Second", "Sign", "Soap", "Sport", "Spring",
+    "Store or Shop", "Street or Road", "Summer", "Sunday", "Table", "Team",
+    "Technology", "Telephone", "Temple", "Time", "Today", "Tomorrow", "Tool",
+    "Train Station", "Ugly", "University", "War", "Week", "Window", "Winter",
+    "Year", "Yesterday", "alive", "bad", "big large", "cheap", "clean",
+    "cold", "cool", "curved", "dead", "deep", "dirty", "dry", "expensive",
+    "famous", "fast", "female", "flat", "good", "happy", "hard", "he",
+    "healthy", "heavy", "high", "hot", "it", "light", "long", "loose",
+    "loud", "low", "male", "narrow", "new", "old", "poor", "quiet", "rich",
+    "sad", "shallow", "she", "short", "sick", "slow", "small little", "soft",
+    "strong", "tall", "they", "thick", "thin", "tight", "warm", "we", "weak",
+    "wet", "wide", "you", "you (plural)", "young",
+]
 
-N_CLASSES = len(EXPRESSIONS)
+EXPRESSIONS = dict(enumerate(_NAMES))
+N_CLASSES = len(_NAMES)
 
 
 def expression(idx: int) -> str:

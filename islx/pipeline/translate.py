@@ -88,19 +88,32 @@ class BatchedTranslatePipeline:
                 boxes[fidx * self.max_hands + slot] = (fidx, bx, by, bw)
         return boxes
 
+    def dispatch_batch(self, frames_bucketed: np.ndarray):
+        """Async: upload + dispatch the body program, return handles."""
+        b, hb, wb = frames_bucketed.shape[:3]
+        flat = self.body.upload_frames(frames_bucketed)
+        packed = self.body.device_step_flat(flat, b, hb, wb)
+        return flat, packed, (b, hb, wb)
+
+    def finish_batch(self, handles, orig_hw: Tuple[int, int]
+                     ) -> List[np.ndarray]:
+        """Consume a dispatched batch: grouping, hands, features."""
+        flat, packed, (b, hb, wb) = handles
+        h0, w0 = orig_hw
+        sy, sx = h0 / hb, w0 / wb
+        results = self.body.assemble(packed, b)
+        boxes = self._boxes_for_batch(results, hb, wb, orig_hw)
+        peaks = self.hand.from_frames(flat, b, hb, wb, boxes)  # bucket coords
+        return self._features(results, boxes, peaks, sy, sx)
+
     def process_batch(self, frames_bucketed: np.ndarray,
                       orig_hw: Tuple[int, int]
                       ) -> List[np.ndarray]:
         """u8 [B,Hb,Wb,3] -> per-frame 156-dim feature vectors (orig coords)."""
-        b, hb, wb = frames_bucketed.shape[:3]
-        h0, w0 = orig_hw
-        sy, sx = h0 / hb, w0 / wb
-        flat = self.body.upload_frames(frames_bucketed)
-        packed = self.body.device_step_flat(flat, b, hb, wb)
-        results = self.body.assemble(packed, b)
-        boxes = self._boxes_for_batch(results, hb, wb, orig_hw)
-        peaks = self.hand.from_frames(flat, b, hb, wb, boxes)  # bucket coords
+        return self.finish_batch(self.dispatch_batch(frames_bucketed),
+                                 orig_hw)
 
+    def _features(self, results, boxes, peaks, sy, sx) -> List[np.ndarray]:
         feats = []
         for fidx, (cand, subset) in enumerate(results):
             if cand.shape[0]:
@@ -134,11 +147,10 @@ class BatchedTranslatePipeline:
         idx0 = 0
         hw = None
         bucket = None
+        pending = None  # (handles, n_valid) — batch dispatched, not consumed
 
-        def flush(n_valid):
+        def emit(feats):
             nonlocal idx0
-            batch = np.stack(buf)
-            feats = self.process_batch(batch, hw)[:n_valid]
             windows = []
             widx = []
             for i, f in enumerate(feats):
@@ -154,8 +166,18 @@ class BatchedTranslatePipeline:
                 for w, pr in zip(widx, probs):
                     cid = int(np.argmax(pr))
                     out.append((w, cid, EXPRESSIONS[cid], float(pr[cid])))
-            idx0 += n_valid
+            idx0 += len(feats)
+
+        def flush(n_valid):
+            # double buffering: dispatch this batch's device work, then
+            # consume the PREVIOUS batch while this one computes
+            nonlocal pending
+            handles = self.dispatch_batch(np.stack(buf))
             buf.clear()
+            if pending is not None:
+                h_prev, n_prev = pending
+                emit(self.finish_batch(h_prev, hw)[:n_prev])
+            pending = (handles, n_valid)
 
         for frame in frames:
             if hw is None:
@@ -170,6 +192,9 @@ class BatchedTranslatePipeline:
             while len(buf) < self.batch:
                 buf.append(buf[-1])
             flush(n)
+        if pending is not None:
+            h_prev, n_prev = pending
+            emit(self.finish_batch(h_prev, hw)[:n_prev])
         return out
 
     def translate_video(self, path: str) -> List[Tuple[int, int, str, float]]:
