@@ -16,11 +16,20 @@ the (tunnel-limited) transfers overlap.
 Prints one JSON line: frames/sec/chip vs the 2000 fps north star
 (BASELINE.json)."""
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# persistent XLA compile cache: repeated bench runs skip the multi-minute
+# program compiles entirely
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 

@@ -10,6 +10,11 @@ import jax  # noqa: E402
 
 # The axon TPU plugin ignores JAX_PLATFORMS env; the config update works.
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is compile-dominated otherwise
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
