@@ -114,5 +114,32 @@ def main():
     }))
 
 
+def _watchdog(timeout_s: float = 540.0):
+    """The tunneled TPU runtime can hang indefinitely (stale relay claims).
+    Emit a zero-value record instead of silence if the bench stalls."""
+    import threading
+
+    done = threading.Event()
+
+    def run():
+        try:
+            main()
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not done.is_set():
+        print(json.dumps({
+            "metric": "body25_hand_fps_per_chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "note": f"TPU runtime unresponsive for {timeout_s:.0f}s",
+        }), flush=True)
+        os._exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _watchdog()
