@@ -34,6 +34,12 @@ class ExtractConfig:
     write_json: bool = True
     write_sticks: bool = False
     window_size: int = 20
+    # per-frame augmentation (reference extract_featuressingle.py:49-52:
+    # RandomRotation + RandomSolarize); deterministic per (video, frame) so
+    # reruns stay idempotent
+    augment: bool = False
+    augment_degrees: float = 10.0
+    solarize_threshold: float = 192.0
 
 
 def _frame_paths(cfg: ExtractConfig, video_id: str, idx: int):
@@ -93,12 +99,31 @@ def extract_video(cfg: ExtractConfig, pose, video_path: str,
         for idx, frame in enumerate(src):
             if is_processed(cfg, video_id, idx):
                 continue
+            if cfg.augment:
+                frame = _augment_frame(cfg, video_id, idx, frame)
             candidate, subset, hands = pose(frame)
             rows.append(save_frame(cfg, video_id, idx, candidate, subset,
                                    hands, frame))
     if rows:
         rows[-1]["exec_time_s"] = time.time() - t0
     return rows
+
+
+def _augment_frame(cfg: ExtractConfig, video_id: str, idx: int,
+                   frame: np.ndarray) -> np.ndarray:
+    """Deterministic per-frame rotate+solarize (islx.ops.augment)."""
+    import jax
+    import jax.numpy as jnp
+
+    from islx.ops.augment import rotate_nearest, solarize
+
+    seed = (hash((video_id, idx)) & 0x7FFFFFFF)
+    rs = np.random.RandomState(seed)
+    deg = rs.uniform(-cfg.augment_degrees, cfg.augment_degrees)
+    out = rotate_nearest(jnp.asarray(frame), jnp.float32(deg))
+    if rs.rand() < 0.5:
+        out = solarize(out, cfg.solarize_threshold)
+    return np.asarray(out).astype(frame.dtype)
 
 
 def shard_rows(rows: Sequence, shard_index: int, num_shards: int) -> List:

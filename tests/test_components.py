@@ -201,3 +201,39 @@ class TestCLI:
         demo.main([os.path.join(REFERENCE, "images", "demo.jpg"),
                    "--out", out])
         assert os.path.exists(out)
+
+
+class TestAugment:
+    def test_rotation_ccw_matches_rot90(self):
+        import jax.numpy as jnp
+
+        from islx.ops.augment import rotate_nearest
+
+        img = np.zeros((20, 20, 3), np.uint8)
+        img[5, 5] = 200
+        r = np.asarray(rotate_nearest(jnp.asarray(img), jnp.float32(90.0)))
+        want = np.rot90(img)
+        ys, xs, _ = np.nonzero(r)
+        wys, wxs, _ = np.nonzero(want)
+        assert (ys[0], xs[0]) == (wys[0], wxs[0])
+
+    def test_solarize(self):
+        import jax.numpy as jnp
+
+        from islx.ops.augment import solarize
+
+        x = np.array([[100, 200]], np.uint8)[:, :, None]
+        out = np.asarray(solarize(jnp.asarray(x), 128))
+        assert out.ravel().tolist() == [100, 55]
+
+    def test_deterministic_extract_augment(self, tmp_path):
+        from islx.isl.extract import ExtractConfig, _augment_frame
+
+        cfg = ExtractConfig(out_root=str(tmp_path), augment=True)
+        frame = (np.random.RandomState(0).rand(24, 24, 3) * 255).astype(
+            np.uint8)
+        a = _augment_frame(cfg, "vid", 3, frame)
+        b = _augment_frame(cfg, "vid", 3, frame)
+        c = _augment_frame(cfg, "vid", 4, frame)
+        np.testing.assert_array_equal(a, b)       # idempotent reruns
+        assert not np.array_equal(a, c)           # varies across frames
