@@ -22,7 +22,6 @@ def main(argv=None):
     from islx.pipeline.batch_pose import BatchedBodyPipeline, bucket_for
     from islx.pipeline.video import FrameBatcher, FrameSource, FrameWriter
     from islx.pose.body import Body
-    from islx.pose.detector import hand_detect
     from islx.pose.hand import Hand
     from islx.utils import draw
 

@@ -41,6 +41,33 @@ def bucket_for(h: int, w: int, target_h: int = 184, stride: int = 8
     return target_h, wb
 
 
+def detect_hand_boxes(results, hb: int, wb: int, orig_hw: Tuple[int, int],
+                      max_hands: int) -> np.ndarray:
+    """Per-frame (candidate, subset) in bucket coords -> fixed-count hand
+    boxes [len(results)*max_hands, 4] = (frame_idx, x0, y0, w) in BUCKET
+    coords (w<=0 pads). Detection geometry runs in original-image coords
+    (the reference's 20px minimum, src/util.py:298, is an original-pixels
+    rule)."""
+    from islx.pose.detector import hand_detect
+
+    h0, w0 = orig_hw
+    sy, sx = h0 / hb, w0 / wb
+    boxes = np.zeros((len(results) * max_hands, 4), np.int32)
+    for fidx, (cand, subset) in enumerate(results):
+        if cand.shape[0] == 0:
+            continue
+        cand_orig = cand.copy()
+        cand_orig[:, 0] *= sx
+        cand_orig[:, 1] *= sy
+        dets = hand_detect(cand_orig, subset, (h0, w0))
+        for slot, (x, y, w, _left) in enumerate(dets[:max_hands]):
+            bx = min(int(round(x / sx)), wb - 1)
+            by = min(int(round(y / sy)), hb - 1)
+            bw = max(min(int(round(w / sx)), wb - bx, hb - by), 1)
+            boxes[fidx * max_hands + slot] = (fidx, bx, by, bw)
+    return boxes
+
+
 class BatchedBodyPipeline:
     """Fixed-bucket batched body pose: u8 frames -> (candidate, subset) list."""
 

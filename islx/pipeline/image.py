@@ -16,7 +16,6 @@ from islx.core.config import HandConfig, PoseConfig
 from islx.models import cpm
 from islx.pipeline.batch_pose import (BatchedBodyPipeline,
                                       BatchedHandPipeline, bucket_for)
-from islx.pose.detector import hand_detect
 
 
 class ImagePose:
@@ -49,22 +48,21 @@ class ImagePose:
         frames = bucketed[None]
         flat = self.body.upload_frames(frames)
         packed = self.body.device_step_flat(flat, 1, hb, wb)
-        (candidate, subset), = self.body.assemble(packed, 1)
+        results = self.body.assemble(packed, 1)
         sy, sx = h0 / hb, w0 / wb
+        from islx.pipeline.batch_pose import detect_hand_boxes
+
+        boxes = detect_hand_boxes(results, hb, wb, (h0, w0), self.max_hands)
+        (candidate, subset), = results
         if candidate.shape[0]:
             candidate[:, 0] *= sx
             candidate[:, 1] *= sy
-        boxes = np.zeros((self.max_hands, 4), np.int32)
-        dets = hand_detect(candidate, subset, (h0, w0))[: self.max_hands]
-        for slot, (x, y, w, _left) in enumerate(dets):
-            bx = min(int(round(x / sx)), wb - 1)
-            by = min(int(round(y / sy)), hb - 1)
-            bw = max(min(int(round(w / sx)), wb - bx, hb - by), 1)
-            boxes[slot] = (0, bx, by, bw)
         hands: List[np.ndarray] = []
-        if dets:
+        if np.any(boxes[:, 3] > 0):
             peaks = self.hand.from_frames(flat, 1, hb, wb, boxes)
-            for slot in range(len(dets)):
+            for slot in range(self.max_hands):
+                if boxes[slot, 3] <= 0:
+                    continue
                 pk = peaks[slot].astype(np.float64)
                 pk[:, 0] = np.where(pk[:, 0] == 0, 0, pk[:, 0] * sx)
                 pk[:, 1] = np.where(pk[:, 1] == 0, 0, pk[:, 1] * sy)

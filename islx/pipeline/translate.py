@@ -23,8 +23,8 @@ from islx.isl.expressions import EXPRESSIONS
 from islx.models import cpm
 from islx.models import translator as T
 from islx.pipeline.batch_pose import (BatchedBodyPipeline,
-                                      BatchedHandPipeline, bucket_for)
-from islx.pose.detector import hand_detect
+                                      BatchedHandPipeline, bucket_for,
+                                      detect_hand_boxes)
 
 
 class BatchedTranslatePipeline:
@@ -66,28 +66,6 @@ class BatchedTranslatePipeline:
 
     # ------------------------------------------------------------------
 
-    def _boxes_for_batch(self, results, hb: int, wb: int,
-                         orig_hw: Tuple[int, int]) -> np.ndarray:
-        """Grouped skeletons -> fixed-count hand boxes in bucket coords."""
-        h0, w0 = orig_hw
-        sy, sx = h0 / hb, w0 / wb
-        boxes = np.zeros((len(results) * self.max_hands, 4), np.int32)
-        for fidx, (cand, subset) in enumerate(results):
-            if cand.shape[0] == 0:
-                continue
-            cand_orig = cand.copy()
-            cand_orig[:, 0] *= sx
-            cand_orig[:, 1] *= sy
-            dets = hand_detect(cand_orig, subset, (h0, w0))
-            for slot, (x, y, w, _left) in enumerate(dets[: self.max_hands]):
-                # back to bucket coords for on-device cropping
-                bx = min(int(round(x / sx)), wb - 1)
-                by = min(int(round(y / sy)), hb - 1)
-                bw = max(int(round(w / sx)), 1)
-                bw = min(bw, wb - bx, hb - by)
-                boxes[fidx * self.max_hands + slot] = (fidx, bx, by, bw)
-        return boxes
-
     def dispatch_batch(self, frames_bucketed: np.ndarray):
         """Async: upload + dispatch the body program, return handles."""
         b, hb, wb = frames_bucketed.shape[:3]
@@ -102,7 +80,7 @@ class BatchedTranslatePipeline:
         h0, w0 = orig_hw
         sy, sx = h0 / hb, w0 / wb
         results = self.body.assemble(packed, b)
-        boxes = self._boxes_for_batch(results, hb, wb, orig_hw)
+        boxes = detect_hand_boxes(results, hb, wb, orig_hw, self.max_hands)
         peaks = self.hand.from_frames(flat, b, hb, wb, boxes)  # bucket coords
         return self._features(results, boxes, peaks, sy, sx)
 
