@@ -74,6 +74,31 @@ def test_body_parity(model_type, rng):
     np.testing.assert_array_equal(subset[:, -1], subset_ref[:, -1])
 
 
+def test_body_parity_with_stride_padding(rng):
+    """Image size whose scaled input is NOT stride-aligned: exercises the
+    pad-right/down + de-pad path against the reference (src/util.py:12-32,
+    src/body.py:54,71)."""
+    ori = (rng.rand(90, 115, 3) * 255).astype(np.uint8)
+    # scale = 0.5*368/90 -> resized 184x235 -> padded 184x240 -> out 23x30
+    heat = _blobby(rng, 23, 30, 26)
+    paf = _smooth_noise(rng, 23, 30, 52)
+    ref_out = {(184, 240): (paf.transpose(2, 0, 1)[None],
+                            heat.transpose(2, 0, 1)[None])}
+    cand_ref, subset_ref = ref_oracle.reference_body(ori, ref_out, "body25")
+
+    def stub_forward(params, x, compute_dtype=None):
+        assert x.shape[1:3] == (184, 240), x.shape
+        return jnp.asarray(paf)[None], jnp.asarray(heat)[None]
+
+    body = Body(weights={}, model_type="body25", forward_fn=stub_forward)
+    cand, subset = body(ori)
+    assert cand.shape == cand_ref.shape
+    np.testing.assert_array_equal(cand[:, :2], cand_ref[:, :2])
+    np.testing.assert_allclose(cand[:, 2], cand_ref[:, 2], atol=1e-4)
+    assert subset.shape == subset_ref.shape
+    np.testing.assert_array_equal(subset[:, :-2], subset_ref[:, :-2])
+
+
 @pytest.mark.parametrize("ref_compat", [False, True])
 def test_body_multiscale_averaging(rng, ref_compat):
     """Multi-scale map averaging, incl. reproducing the reference's buggy

@@ -69,6 +69,21 @@ def test_keras_parity_masked_window(keras_pair, rng):
     assert np.abs(want - got).max() < 1e-4
 
 
+def test_keras_export_roundtrip(keras_pair, rng):
+    """islx-trained head -> keras get_weights lists -> keras model predicts
+    identically (the reference model_converter.py direction, inverted)."""
+    cfg, keras_model, params = keras_pair
+    wl = T.to_keras_weights(params)
+    weighted = [l for l in keras_model.layers if l.get_weights()]
+    assert len(weighted) == len(wl)
+    for layer, ws in zip(weighted, wl):
+        layer.set_weights(ws)
+    x = rng.randn(2, cfg.window_size, cfg.feature_dim).astype(np.float32)
+    want = keras_model.predict(x, verbose=0)
+    got = np.asarray(T.forward(params, jnp.asarray(x)))
+    assert np.abs(want - got).max() < 1e-4
+
+
 def test_probabilities_and_shapes():
     cfg = TranslatorConfig()
     params = T.init_params(cfg)
