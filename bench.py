@@ -114,9 +114,12 @@ def main():
     }))
 
 
-def _watchdog(timeout_s: float = 540.0):
+def _watchdog(timeout_s: float = None):
     """The tunneled TPU runtime can hang indefinitely (stale relay claims).
-    Emit a zero-value record instead of silence if the bench stalls."""
+    Emit a zero-value record instead of silence if the bench stalls.
+    Budget covers cold start (up to ~2 min) + uncached compiles (~6 min)."""
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_WATCHDOG_S", "1500"))
     import threading
 
     done = threading.Event()

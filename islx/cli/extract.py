@@ -18,8 +18,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("csv")
     p.add_argument("out_dir")
-    p.add_argument("--shard-index", type=int, default=0)
-    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--shard-index", type=int, default=None,
+                   help="default: jax.process_index() under multihost JAX")
+    p.add_argument("--num-shards", type=int, default=None,
+                   help="default: jax.process_count()")
     p.add_argument("--body-weights", default=None)
     p.add_argument("--hand-weights", default=None)
     p.add_argument("--path-col", default="Filepath")
@@ -45,10 +47,20 @@ def main(argv=None):
         pose = ImagePose(
             W.load(args.body_weights, "body25") if args.body_weights else None,
             W.load(args.hand_weights, "hand") if args.hand_weights else None)
+    if args.shard_index is None or args.num_shards is None:
+        import jax
+
+        shard_index = (args.shard_index if args.shard_index is not None
+                       else jax.process_index())
+        num_shards = (args.num_shards if args.num_shards is not None
+                      else jax.process_count())
+    else:
+        shard_index, num_shards = args.shard_index, args.num_shards
+
     cfg = ExtractConfig(out_root=args.out_dir, write_sticks=args.sticks)
-    out = extract_dataset(cfg, pose, args.csv, args.shard_index,
-                          args.num_shards, args.path_col)
-    print(f"shard {args.shard_index}/{args.num_shards} -> {out}")
+    out = extract_dataset(cfg, pose, args.csv, shard_index, num_shards,
+                          args.path_col)
+    print(f"shard {shard_index}/{num_shards} -> {out}")
 
 
 if __name__ == "__main__":
