@@ -33,6 +33,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
+def _tpu_alive(probe_timeout_s: float = 90.0) -> bool:
+    """Probe the TPU in a SUBPROCESS (so a wedged relay can't hang us and we
+    haven't initialized the axon backend in-process yet)."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8,8))*2).sum()))"],
+            timeout=probe_timeout_s, capture_output=True)
+        return out.returncode == 0 and b"128.0" in out.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main():
     import cv2
 
@@ -41,7 +58,14 @@ def main():
     from islx.pipeline.batch_pose import (BatchedBodyPipeline,
                                           BatchedHandPipeline, bucket_for)
 
-    B = 32                     # frames per device step
+    note = None
+    if not _tpu_alive():
+        # stale relay claims can wedge the TPU for hours (see BENCH_NOTES.md);
+        # a labeled CPU measurement beats recording nothing
+        jax.config.update("jax_platforms", "cpu")
+        note = "TPU runtime unreachable; CPU fallback measurement"
+
+    B = 32 if note is None else 4      # frames per device step
     HANDS_PER_FRAME = 2
 
     img = cv2.imread("/root/reference/images/demo.jpg")
@@ -95,7 +119,7 @@ def main():
 
     consume(*dispatch())  # compile + warm
 
-    n_iters = 10
+    n_iters = 10 if note is None else 2
     t0 = time.perf_counter()
     bp, hp = dispatch()
     for _ in range(n_iters - 1):
@@ -106,12 +130,15 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = B * n_iters / dt
-    print(json.dumps({
+    record = {
         "metric": "body25_hand_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 2000.0, 4),
-    }))
+    }
+    if note:
+        record["note"] = note
+    print(json.dumps(record))
 
 
 def _watchdog(timeout_s: float = None):
