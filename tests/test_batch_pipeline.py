@@ -158,3 +158,38 @@ def test_batched_body_matches_parity_api(rng):
     for cand, subset in out:
         np.testing.assert_allclose(cand, cand_ref, atol=1e-5)
         np.testing.assert_allclose(subset, subset_ref, atol=1e-5)
+
+
+def test_body_empty_image(rng):
+    """No peaks above threshold -> empty candidate/subset (no crashes)."""
+    import jax.numpy as jnp
+
+    from islx.pose.body import Body
+
+    def stub_forward(params, x, compute_dtype=None):
+        b = x.shape[0]
+        return (jnp.zeros((b, 23, 30, 52)), jnp.zeros((b, 23, 30, 26)))
+
+    body = Body(weights={}, model_type="body25", forward_fn=stub_forward)
+    ori = (rng.rand(92, 120, 3) * 255).astype(np.uint8)
+    candidate, subset = body(ori)
+    assert candidate.shape == (0, 4)
+    assert subset.shape == (0, 27)
+
+
+def test_hand_empty_heatmap(rng):
+    """All channels below threshold -> 21 x (0,0) sentinels (src/hand.py:64)."""
+    import jax.numpy as jnp
+
+    from islx.core.config import HandConfig
+    from islx.pose.hand import Hand
+
+    def stub_forward(params, x, compute_dtype=None):
+        b, hh, wh = x.shape[0], x.shape[1] // 8, x.shape[2] // 8
+        return jnp.zeros((b, hh, wh, 22))
+
+    hand = Hand(weights={}, config=HandConfig(scale_search=(1.0,)),
+                forward_fn=stub_forward)
+    crop = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    peaks = hand(crop)
+    np.testing.assert_array_equal(peaks, np.zeros((21, 2), np.int32))
