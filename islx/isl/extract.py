@@ -112,12 +112,15 @@ def extract_video(cfg: ExtractConfig, pose, video_path: str,
 def _augment_frame(cfg: ExtractConfig, video_id: str, idx: int,
                    frame: np.ndarray) -> np.ndarray:
     """Deterministic per-frame rotate+solarize (islx.ops.augment)."""
-    import jax
+    import zlib
+
     import jax.numpy as jnp
 
     from islx.ops.augment import rotate_nearest, solarize
 
-    seed = (hash((video_id, idx)) & 0x7FFFFFFF)
+    # crc32, NOT hash(): python's hash is salted per process and would break
+    # the idempotent-resume contract
+    seed = zlib.crc32(f"{video_id}/{idx}".encode()) & 0x7FFFFFFF
     rs = np.random.RandomState(seed)
     deg = rs.uniform(-cfg.augment_degrees, cfg.augment_degrees)
     out = rotate_nearest(jnp.asarray(frame), jnp.float32(deg))

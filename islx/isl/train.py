@@ -59,17 +59,17 @@ def _apply_updates_keeping_bn_stats(params, updates):
     return out
 
 
-def _update_bn_stats(params, x, momentum: float = 0.99):
-    """EMA update of bn0 running stats from the raw input batch (the deeper
-    BNs' stats are updated the same way from their activations in a full
-    implementation; bn0 dominates since it normalizes raw pixel coords)."""
-    mean = x.mean((0, 1))
-    var = x.var((0, 1))
+def _update_bn_stats(params, x, cfg, momentum: float = 0.99):
+    """EMA update of EVERY BatchNorm's running mean/var from the batch's
+    train-mode activations (T.batch_stats), so inference normalization
+    matches what training saw."""
+    stats = T.batch_stats(params, x, cfg)
     p = dict(params)
-    bn0 = dict(p["bn0"])
-    bn0["mean"] = momentum * bn0["mean"] + (1 - momentum) * mean
-    bn0["var"] = momentum * bn0["var"] + (1 - momentum) * var
-    p["bn0"] = bn0
+    for name, (mean, var) in stats.items():
+        bn = dict(p[name])
+        bn["mean"] = momentum * bn["mean"] + (1 - momentum) * mean
+        bn["var"] = momentum * bn["var"] + (1 - momentum) * var
+        p[name] = bn
     return p
 
 
@@ -89,7 +89,7 @@ def make_train_step(optimizer: optax.GradientTransformation,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = _apply_updates_keeping_bn_stats(state.params, updates)
-        params = _update_bn_stats(params, x)
+        params = _update_bn_stats(params, x, cfg)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     if mesh is None:
@@ -140,7 +140,29 @@ def fit(x: np.ndarray, y: np.ndarray, epochs: int = 10, batch_size: int = 32,
                 else state
     if mesh is not None:
         sharded = M.shard_translator_params(state.params, mesh)
-        state = TrainState(sharded, opt.init(sharded), state.step)
+        if start_epoch == 0:
+            opt_state = opt.init(sharded)
+        else:
+            # resumed: keep the loaded Adam moments, placed to match the
+            # param shardings (mu/nu mirror the param tree; scalars replicate)
+            shardings = M.translator_param_shardings(state.params, mesh)
+
+            def place(path_tree, value_tree):
+                return jax.tree_util.tree_map(
+                    lambda v, s: jax.device_put(v, s), value_tree, path_tree)
+
+            loaded = state.opt_state
+            placed = []
+            for part in loaded:
+                if hasattr(part, "mu"):
+                    placed.append(part._replace(
+                        mu=place(shardings, part.mu),
+                        nu=place(shardings, part.nu)))
+                else:
+                    placed.append(part)
+            opt_state = type(loaded)(placed) if isinstance(loaded, list) \
+                else tuple(placed)
+        state = TrainState(sharded, opt_state, state.step)
     step = make_train_step(opt, cfg, mesh)
     rng = jax.random.PRNGKey(seed + 1)
     n = x.shape[0]

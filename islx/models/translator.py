@@ -183,12 +183,25 @@ def forward(params: Params, x: jax.Array, train: bool = False,
     return jax.nn.softmax(logits, axis=-1)
 
 
-def logits(params: Params, x: jax.Array, train: bool = False,
-           rng: Optional[jax.Array] = None,
-           cfg: TranslatorConfig = TranslatorConfig()) -> jax.Array:
-    """Same as forward() but pre-softmax (for the training loss)."""
-    probs = forward(params, x, train, rng, cfg)
-    return jnp.log(jnp.maximum(probs, 1e-30))
+def batch_stats(params: Params, x: jax.Array,
+                cfg: TranslatorConfig = TranslatorConfig()) -> dict:
+    """Batch mean/var at every BatchNorm input under train-mode forward —
+    used by the training loop to EMA-update ALL running statistics so
+    inference normalizes consistently with training."""
+    x = x.astype(jnp.float32)
+    mask = jnp.any(x != 0.0, axis=-1)
+    stats = {"bn0": (x.mean((0, 1)), x.var((0, 1)))}
+    h = _bn(params["bn0"], x, train=True)
+    h = _bilstm(params["lstm1_fwd"], params["lstm1_bwd"], h, mask, True)
+    h = _bilstm(params["lstm2_fwd"], params["lstm2_bwd"], h, mask, False)
+    h = jax.nn.elu(h)
+    h = h @ params["dense1"]["kernel"]
+    stats["bn1"] = (h.mean(0), h.var(0))
+    h = _bn(params["bn1"], h, train=True)
+    h = jax.nn.elu(h)
+    h = h @ params["dense2"]["kernel"]
+    stats["bn2"] = (h.mean(0), h.var(0))
+    return stats
 
 
 # ---------------------------------------------------------------------------

@@ -117,14 +117,13 @@ class BatchedTranslatePipeline:
                          orig_hw: Optional[Tuple[int, int]] = None
                          ) -> List[Tuple[int, int, str, float]]:
         """Stream frames -> [(frame_idx, class_id, expression, prob)]."""
-        import cv2
+
+        from islx.pipeline.video import FrameBatcher
 
         self.reset()
         out: List[Tuple[int, int, str, float]] = []
-        buf: List[np.ndarray] = []
         idx0 = 0
         hw = None
-        bucket = None
         pending = None  # (handles, n_valid) — batch dispatched, not consumed
 
         def emit(feats):
@@ -146,30 +145,36 @@ class BatchedTranslatePipeline:
                     out.append((w, cid, EXPRESSIONS[cid], float(pr[cid])))
             idx0 += len(feats)
 
-        def flush(n_valid):
+        def flush(batch, n_valid):
             # double buffering: dispatch this batch's device work, then
             # consume the PREVIOUS batch while this one computes
             nonlocal pending
-            handles = self.dispatch_batch(np.stack(buf))
-            buf.clear()
+            handles = self.dispatch_batch(batch)
             if pending is not None:
                 h_prev, n_prev = pending
                 emit(self.finish_batch(h_prev, hw)[:n_prev])
             pending = (handles, n_valid)
 
-        for frame in frames:
-            if hw is None:
-                hw = orig_hw or frame.shape[:2]
-                bucket = bucket_for(hw[0], hw[1], target_h=184)
-            buf.append(cv2.resize(frame, (bucket[1], bucket[0]),
-                                  interpolation=cv2.INTER_CUBIC))
-            if len(buf) == self.batch:
-                flush(self.batch)
-        if buf:
-            n = len(buf)
-            while len(buf) < self.batch:
-                buf.append(buf[-1])
-            flush(n)
+        def sized(it):
+            nonlocal hw
+            for frame in it:
+                if hw is None:
+                    hw = orig_hw or frame.shape[:2]
+                yield frame
+
+        frames = sized(frames)
+        first = next(frames, None)
+        if first is None:
+            return out
+        batcher = FrameBatcher(self.batch, bucket_for(hw[0], hw[1],
+                                                      target_h=184))
+
+        def chain():
+            yield first
+            yield from frames
+
+        for batch, n_valid in batcher(chain()):
+            flush(batch, n_valid)
         if pending is not None:
             h_prev, n_prev = pending
             emit(self.finish_batch(h_prev, hw)[:n_prev])

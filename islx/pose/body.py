@@ -126,11 +126,12 @@ class Body:
 
     def maps(self, ori_img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """(heatmap_avg[H,W,njoint], paf_avg[H,W,npaf]) — for debugging/tests."""
-        heat, paf = jax.jit(
-            functools.partial(_compute_maps, model_type=self.model_type,
-                              cfg=self.cfg, compute_dtype=self.compute_dtype,
-                              forward=self.forward_fn)
-        )(self.params, jnp.asarray(ori_img))
+        key = ("maps", ori_img.shape[0], ori_img.shape[1])
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(functools.partial(
+                _compute_maps, model_type=self.model_type, cfg=self.cfg,
+                compute_dtype=self.compute_dtype, forward=self.forward_fn))
+        heat, paf = self._jitted[key](self.params, jnp.asarray(ori_img))
         return np.asarray(heat), np.asarray(paf)
 
     def __call__(self, ori_img: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -82,10 +82,13 @@ class Hand:
 
     def heatmap(self, crop: np.ndarray) -> np.ndarray:
         """Averaged [H,W,22] heatmap — for debugging/tests."""
-        return np.asarray(jax.jit(
-            lambda p, x: _hand_heatmap(p, x, self.cfg, self.compute_dtype,
-                                       self.forward_fn)
-        )(self.params, jnp.asarray(crop)))
+        key = ("heatmap", crop.shape[0], crop.shape[1])
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                lambda p, x: _hand_heatmap(p, x, self.cfg,
+                                           self.compute_dtype,
+                                           self.forward_fn))
+        return np.asarray(self._jitted[key](self.params, jnp.asarray(crop)))
 
     def __call__(self, crop: np.ndarray) -> np.ndarray:
         """BGR u8 [H,W,3] crop -> peaks [21,2] int (x, y); (0,0) = missing."""

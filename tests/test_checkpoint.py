@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from islx.core import checkpoint as ckpt
 from islx.core.config import TranslatorConfig
@@ -57,3 +58,41 @@ def test_fit_resume(tmp_path, rng):
                     verbose=False)
     probs = T.forward(params, x[:2])
     assert np.all(np.isfinite(np.asarray(probs)))
+
+
+def test_fit_resume_on_mesh(tmp_path, rng):
+    """Resume keeps the loaded Adam moments when sharding onto a mesh."""
+    from islx.isl import train as TR
+    from islx.parallel import mesh as M
+
+    mesh = M.make_mesh(n_data=4, n_model=2)
+    cfg = TranslatorConfig()
+    x = rng.randn(8, cfg.window_size, cfg.feature_dim).astype(np.float32)
+    y = rng.randint(0, cfg.n_classes, 8)
+    d = str(tmp_path / "ckpt")
+    TR.fit(x, y, epochs=1, batch_size=8, cfg=cfg, mesh=mesh,
+           checkpoint_dir=d, verbose=False)
+    params = TR.fit(x, y, epochs=2, batch_size=8, cfg=cfg, mesh=mesh,
+                    checkpoint_dir=d, verbose=False)
+    probs = T.forward(params, x[:2])
+    assert np.all(np.isfinite(np.asarray(probs)))
+
+
+def test_trained_bn_stats_updated(rng):
+    """All three BatchNorms' running stats move during training (review
+    finding: bn1/bn2 previously kept init stats)."""
+    from islx.isl import train as TR
+
+    cfg = TranslatorConfig()
+    opt = TR.make_optimizer(1e-3)
+    state, _ = TR.init_state(cfg, opt, jax.random.PRNGKey(0))
+    before = {k: np.asarray(state.params[k]["mean"]).copy()
+              for k in ("bn0", "bn1", "bn2")}
+    step = TR.make_train_step(opt, cfg)
+    x = jnp.asarray(rng.randn(8, cfg.window_size, cfg.feature_dim),
+                    jnp.float32)
+    y = jnp.asarray(rng.randint(0, cfg.n_classes, 8))
+    state, _ = step(state, x, y, jax.random.PRNGKey(1))
+    for k in ("bn0", "bn1", "bn2"):
+        assert not np.allclose(np.asarray(state.params[k]["mean"]),
+                               before[k]), k
