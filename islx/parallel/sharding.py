@@ -34,33 +34,3 @@ def make_batched_forward(model_type: str, mesh: Optional[Mesh] = None,
     data = M.batch_sharding(mesh)
     rep = M.replicated(mesh)
     return jax.jit(fn, in_shardings=(rep, data), out_shardings=data)
-
-
-def make_batched_pose_maps(model_type: str, njoint: int, npaf: int,
-                           mesh: Optional[Mesh] = None,
-                           compute_dtype=jnp.bfloat16):
-    """Batched normalize+forward+x8-upsample for fixed-size frame buckets.
-
-    x: u8 [B,H,W,3] already resized to a stride-aligned bucket. Returns
-    (heat [B,H,W,C], paf [B,H,W,P]) at input resolution — the batched
-    equivalent of the reference's per-frame chain (src/body.py:51-78) minus
-    the back-to-original-size resize, which the caller owns (coordinates
-    scale linearly).
-    """
-    from islx.ops.resize import resize_cubic
-
-    forward = cpm.FORWARDS[model_type]
-
-    def fn(params, x):
-        xn = x.astype(jnp.float32) / 256.0 - 0.5
-        paf, heat = forward(params, xn, compute_dtype)
-        h, w = x.shape[1], x.shape[2]
-        heat = resize_cubic(heat, h, w)
-        paf = resize_cubic(paf, h, w)
-        return heat, paf
-
-    if mesh is None:
-        return jax.jit(fn)
-    data = M.batch_sharding(mesh)
-    rep = M.replicated(mesh)
-    return jax.jit(fn, in_shardings=(rep, data), out_shardings=data)
