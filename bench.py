@@ -33,7 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def _tpu_alive(probe_timeout_s: float = 90.0) -> bool:
+def _tpu_probe_once(probe_timeout_s: float) -> bool:
     """Probe the TPU in a SUBPROCESS (so a wedged relay can't hang us and we
     haven't initialized the axon backend in-process yet)."""
     import subprocess
@@ -48,6 +48,18 @@ def _tpu_alive(probe_timeout_s: float = 90.0) -> bool:
         return out.returncode == 0 and b"128.0" in out.stdout
     except (subprocess.TimeoutExpired, OSError):
         return False
+
+
+def _tpu_alive() -> bool:
+    """Retry the probe for several minutes: relay cold start is 30-120s and a
+    stale claim from a previously killed process can add minutes more, so a
+    single 90s probe false-negatives on a healthy relay (round-1 bench fell
+    back to CPU exactly this way)."""
+    for timeout_s, sleep_s in ((120, 10), (150, 20), (180, 30), (240, 0)):
+        if _tpu_probe_once(timeout_s):
+            return True
+        time.sleep(sleep_s)
+    return False
 
 
 def main():
