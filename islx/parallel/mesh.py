@@ -98,3 +98,60 @@ def shard_cpm_params(params, mesh: Mesh):
     """CPM trunks replicate (26-52M params fit comfortably per chip)."""
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda v: jax.device_put(v, rep), params)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (DCN) glue
+# ---------------------------------------------------------------------------
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Join a multi-process JAX cluster (one process per host/pod slice).
+
+    Wraps ``jax.distributed.initialize``: on TPU pods the three arguments
+    auto-detect from the runtime; elsewhere they come from the arguments or
+    the standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID). Safe to call twice (no-op) and a no-op for plainly
+    single-process runs (no coordinator configured anywhere).
+
+    After this, ``jax.devices()`` spans all hosts, meshes built by
+    :func:`make_mesh` cover the full ICI+DCN topology, and
+    ``jax.process_index()/process_count()`` drive the per-host input sharding
+    (islx.cli.extract defaults). Returns True when a multi-process runtime is
+    active.
+    """
+    import os
+
+    # NB: must not touch the backend (jax.process_count etc.) before
+    # jax.distributed.initialize — probe the distributed client directly.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    if process_id is None and env_pid is not None:
+        process_id = int(env_pid)
+    if coordinator_address is None and num_processes is None:
+        return False  # single-process run, nothing to join
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_count() > 1
+
+
+def global_batch_from_local(mesh: Mesh, local_batch) -> jax.Array:
+    """Per-host local batch -> one global array sharded over ``data``.
+
+    Multi-host input pipeline contract (SURVEY.md §5): each host loads only
+    its own slice of the batch (e.g. its video shard), and the global device
+    array is assembled WITHOUT cross-host data movement —
+    ``jax.make_array_from_process_local_data`` places each host's rows on its
+    own devices; only jitted collectives ride DCN afterwards.
+    """
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), np.asarray(local_batch))

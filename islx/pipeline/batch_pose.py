@@ -25,7 +25,8 @@ import numpy as np
 from islx.core.config import HandConfig, PoseConfig
 from islx.models import cpm
 from islx.ops import grouping
-from islx.ops.hand_peaks import find_hand_peaks_fast, find_hand_peaks_refine
+from islx.ops.hand_peaks import (find_hand_peaks, find_hand_peaks_fast,
+                                 find_hand_peaks_refine)
 from islx.ops.paf import (LIMB_TABLES, compact_connections, score_limbs,
                           score_limbs_mxu)
 from islx.ops.peaks import find_peaks
@@ -223,12 +224,18 @@ class BatchedHandPipeline:
     """Fixed-bucket batched hand pose: u8 crops [N,S,S,3] -> peaks [N,21,2]."""
 
     def __init__(self, params: cpm.Params, cfg: Optional[HandConfig] = None,
-                 crop_size: int = 368, compute_dtype=jnp.bfloat16, mesh=None):
+                 crop_size: int = 368, compute_dtype=jnp.bfloat16, mesh=None,
+                 peak_mode: str = "cc"):
         self.params = params
         self.cfg = cfg or HandConfig()
         self.crop_size = crop_size
         self.compute_dtype = compute_dtype
         self.mesh = mesh
+        # multi-scale peak extraction: 'cc' = the reference-exact connected-
+        # component selection (src/hand.py:59-73) batched over crops; 'fast' =
+        # global argmax (identical whenever the max lies in the best blob).
+        # The single-scale production branch always uses coarse-to-fine argmax.
+        self.peak_mode = peak_mode
         self._programs = {}
 
     def _program(self, n: int):
@@ -280,7 +287,9 @@ class BatchedHandPipeline:
                     m, _ = run_scale(params, crops, s)
                     heat_sum = heat_sum + resize_cubic(m, s0, s0) / len(
                         cfg.scale_search)
-                pk = jax.vmap(lambda h: find_hand_peaks_fast(
+                peak_fn = (find_hand_peaks if self.peak_mode == "cc"
+                           else find_hand_peaks_fast)
+                pk = jax.vmap(lambda h: peak_fn(
                     h[:, :, :cfg.n_parts], cfg.thre))(heat_sum)
                 return pack(pk, 1.0)
 

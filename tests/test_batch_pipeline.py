@@ -117,6 +117,54 @@ def test_batched_hand_multiscale_averaging(rng):
         assert abs(x - 15) <= 2 and abs(y - 11) <= 2, peaks[n, 0]
 
 
+def test_batched_hand_cc_matches_parity_api(rng):
+    """Batched 4-scale hand mode with CC peak selection == Hand() parity API
+    on the same stubbed net outputs (reference src/hand.py:35-73 at batch).
+
+    The stub emits TWO blobs per part: a wide one (larger total score) and a
+    taller single-cell one (global max) — connected-component selection must
+    pick the wide blob (src/hand.py:68), so this also distinguishes the exact
+    path from the fast global-argmax mode.
+    """
+    import islx.pipeline.batch_pose as bp
+    from islx.core.config import HandConfig
+    from islx.pipeline.batch_pose import BatchedHandPipeline
+    from islx.pose.hand import Hand
+
+    s0 = 46
+
+    def hand_fwd(params, x, compute_dtype=None):
+        b, hh = x.shape[0], x.shape[1] // 8
+        m = np.zeros((hh, hh, 22), np.float32)
+        q = hh // 4
+        # wide blob: 3x3 cells of 4.0 (total 36); tall blob: 2x2 of 8.0
+        # (total 32 < 36 but max 8 > 4) — CC must pick the wide blob, global
+        # argmax the tall one. Amplitudes sized to survive the sigma-3 blur.
+        m[q:q + 3, q:q + 3, :21] = 4.0
+        m[3 * q:3 * q + 2, 3 * q:3 * q + 2, :21] = 8.0
+        return jnp.broadcast_to(jnp.asarray(m), (b, hh, hh, 22))
+
+    cfg = HandConfig(scale_search=(0.5, 1.0, 1.5, 2.0))
+    hand_ref = Hand(weights={}, config=cfg, forward_fn=hand_fwd)
+    crops = (rng.rand(3, s0, s0, 3) * 255).astype(np.uint8)
+    ref_peaks = np.stack([hand_ref(c) for c in crops])
+
+    orig = bp.cpm.hand_forward
+    bp.cpm.hand_forward = hand_fwd
+    try:
+        batched_cc = BatchedHandPipeline({}, cfg, crop_size=s0,
+                                         compute_dtype=jnp.float32)(crops)
+        batched_fast = BatchedHandPipeline({}, cfg, crop_size=s0,
+                                           compute_dtype=jnp.float32,
+                                           peak_mode="fast")(crops)
+    finally:
+        bp.cpm.hand_forward = orig
+
+    np.testing.assert_array_equal(batched_cc, ref_peaks)
+    # the discriminator: fast mode lands on the tall blob, CC on the wide one
+    assert not np.array_equal(batched_fast, ref_peaks)
+
+
 def test_batched_body_matches_parity_api(rng):
     """BatchedBodyPipeline on a bucket-sized frame == Body() on the same frame
     (same stubbed net outputs, orig == bucket so no coordinate scaling)."""
