@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from islx.ops.blur import gaussian_blur
 
@@ -70,6 +71,79 @@ def _k_smallest(keyed: jax.Array, k: int, two_stage: bool) -> jax.Array:
     neg, _ = jax.lax.top_k(-blocks, kb)                   # [C, nb, kb]
     neg2, _ = jax.lax.top_k(neg.reshape(c, nb * kb), k)
     return -neg2
+
+
+@functools.lru_cache(maxsize=256)
+def _blurred_upsample_matrix(n_in: int, n_out: int, sigma: float,
+                             truncate: float = 4.0):
+    """Fold gaussian blur into the cubic upsample: blur(resize(x)) =
+    (B @ R) x (R' @ B')ᵀ — one [n_out, n_in] matrix per axis, built in f64.
+
+    This is the TPU-native form of the reference's epilogue
+    (src/body.py:70,88: cv2 x8 cubic upsample THEN scipy gaussian_filter):
+    both operators are linear and separable, so their composition is a single
+    dense matrix and the unblurred full-resolution heatmap is never
+    materialized.
+    """
+    from islx.ops.blur import _blur_matrix
+    from islx.ops.resize import _resize_matrix
+
+    b = _blur_matrix(n_out, sigma, truncate).astype(np.float64)
+    r = _resize_matrix(n_in, n_out).astype(np.float64)
+    return (b @ r).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
+def find_peaks_fused(heat8: jax.Array, h_out: int, w_out: int,
+                     thre1: float, k: int = 32, sigma: float = 3.0,
+                     two_stage: bool = True) -> Peaks:
+    """Fused epilogue: NET-resolution heatmaps -> peaks at full resolution.
+
+    heat8: [h8, w8, C] (joint channels only). Equivalent to
+    ``find_peaks(resize_cubic(heat8, h_out, w_out), ...)`` but:
+
+    * the blur folds into the upsample (see ``_blurred_upsample_matrix``), so
+      the epilogue runs TWO small matmuls total instead of four full-res ones;
+    * peak scores (values of the UNBLURRED upsampled map, src/body.py:103)
+      are reconstructed exactly at the K peaks from heat8 with the same cubic
+      row/col weights — a [C,K]-sized contraction instead of a second
+      [h_out, w_out, C] map.
+
+    Positions can differ from the unfused path only where f32 rounding flips
+    a near-exact NMS tie (production path; the parity path keeps the unfused
+    order).
+    """
+    from islx.ops.resize import _resize_matrix
+
+    h8, w8, c = heat8.shape
+    fh = jnp.asarray(_blurred_upsample_matrix(h8, h_out, sigma))
+    fw = jnp.asarray(_blurred_upsample_matrix(w8, w_out, sigma))
+    hi = jax.lax.Precision.HIGHEST
+    x = heat8.astype(jnp.float32)
+    blurred = jnp.einsum("oh,hwc->owc", fh, x, precision=hi)
+    blurred = jnp.einsum("pw,owc->opc", fw, blurred, precision=hi)
+
+    mask = _nms_mask(blurred, thre1)
+    flat_mask = mask.transpose(2, 0, 1).reshape(c, h_out * w_out)
+    flat_idx = jnp.arange(h_out * w_out, dtype=jnp.int32)
+    keyed = jnp.where(flat_mask, flat_idx[None, :], h_out * w_out)
+    idx = _k_smallest(keyed, k, two_stage)
+    valid = idx < h_out * w_out
+    idx = jnp.where(valid, idx, 0)
+    y = idx // w_out
+    x_ = idx % w_out
+
+    # exact unblurred cubic values at the peaks: Ry[y] @ heat8[:,:,c] @ Cx[x]
+    ry = jnp.asarray(_resize_matrix(h8, h_out))      # [h_out, h8]
+    cx = jnp.asarray(_resize_matrix(w8, w_out))      # [w_out, w8]
+    rows = jnp.take(ry, y, axis=0)                   # [C, K, h8]
+    cols = jnp.take(cx, x_, axis=0)                  # [C, K, w8]
+    score = jnp.einsum("cki,ijc,ckj->ck", rows, heat8.astype(jnp.float32),
+                       cols, precision=hi)
+    score = jnp.where(valid, score, 0.0)
+    xy = jnp.stack([x_, y], axis=-1).astype(jnp.int32)
+    count = valid.sum(axis=1).astype(jnp.int32)
+    return Peaks(xy=xy, score=score, valid=valid, count=count)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

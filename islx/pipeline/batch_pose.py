@@ -29,9 +29,27 @@ from islx.ops.hand_peaks import (find_hand_peaks, find_hand_peaks_fast,
                                  find_hand_peaks_refine)
 from islx.ops.paf import (LIMB_TABLES, compact_connections, score_limbs,
                           score_limbs_mxu)
-from islx.ops.peaks import find_peaks
+from islx.ops.peaks import find_peaks, find_peaks_fused
 from islx.ops.preprocess import pad_amounts
 from islx.ops.resize import dynamic_crop_resize, resize_cubic
+
+
+def _chunked_vmap(fn, args: tuple, chunk: Optional[int]):
+    """vmap fn over the leading axis, in lax.map chunks of ``chunk``.
+
+    Compile-time control: a flat N-way vmap of dynamic-slice/gather-heavy
+    bodies makes the TPU backend optimize one enormous fused graph (the
+    round-1 B>=64 hand-program compile blowup); chunking compiles the body
+    once for ``chunk`` lanes and scans it N/chunk times. chunk=None or
+    non-dividing N falls back to the flat vmap.
+    """
+    n = args[0].shape[0]
+    if not chunk or n <= chunk or n % chunk:
+        return jax.vmap(fn)(*args)
+    resh = tuple(a.reshape((n // chunk, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), resh)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((n,) + o.shape[2:]), out)
 
 
 def bucket_for(h: int, w: int, target_h: int = 184, stride: int = 8
@@ -75,7 +93,8 @@ class BatchedBodyPipeline:
     def __init__(self, params: cpm.Params, model_type: str = "body25",
                  cfg: Optional[PoseConfig] = None,
                  compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48,
-                 paf_mode: str = "mxu", two_stage_peaks: bool = True):
+                 paf_mode: str = "mxu", two_stage_peaks: bool = True,
+                 fused_peaks: Optional[bool] = None):
         self.params = params
         self.model_type = model_type
         self.cfg = cfg or PoseConfig(model_type=model_type)
@@ -84,6 +103,13 @@ class BatchedBodyPipeline:
         self.top_m = top_m    # device-sorted connection candidates per limb
         self.paf_mode = paf_mode  # 'mxu' (gather-free, /8 samples) | 'exact'
         self.two_stage_peaks = two_stage_peaks
+        # fused_peaks: blur folded into the x8 upsample + peak-score
+        # reconstruction (ops.peaks.find_peaks_fused) — the production
+        # default; the exact-parity construction (paf_mode='exact',
+        # two_stage_peaks=False) keeps the reference op order.
+        if fused_peaks is None:
+            fused_peaks = two_stage_peaks
+        self.fused_peaks = fused_peaks
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
@@ -103,10 +129,18 @@ class BatchedBodyPipeline:
                 frames = frames_flat.reshape(b, hb, wb, 3)
                 x = frames.astype(jnp.float32) / 256.0 - 0.5
                 paf8, heat8 = forward(params, x, cd)
-                heat = resize_cubic(heat8, hb, wb)    # x8, batched over B
-                pk = jax.vmap(lambda h: find_peaks(
-                    h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks,
-                    two_stage=self.two_stage_peaks))(heat)
+                if self.fused_peaks:
+                    # blur ∘ upsample folded into one matmul pair; the
+                    # unblurred full-res heatmap is never materialized
+                    pk = jax.vmap(lambda h: find_peaks_fused(
+                        h[:, :, :cfg.njoint - 1], hb, wb, thre1,
+                        cfg.max_peaks,
+                        two_stage=self.two_stage_peaks))(heat8)
+                else:
+                    heat = resize_cubic(heat8, hb, wb)   # x8, batched over B
+                    pk = jax.vmap(lambda h: find_peaks(
+                        h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks,
+                        two_stage=self.two_stage_peaks))(heat)
                 if self.paf_mode == "mxu":
                     ls_fn = lambda p8, xy, v: score_limbs_mxu(  # noqa: E731
                         p8, xy, v, limb_seq, map_idx, cfg.stride, cfg.thre2,
@@ -225,7 +259,7 @@ class BatchedHandPipeline:
 
     def __init__(self, params: cpm.Params, cfg: Optional[HandConfig] = None,
                  crop_size: int = 368, compute_dtype=jnp.bfloat16, mesh=None,
-                 peak_mode: str = "cc"):
+                 peak_mode: str = "cc", crop_chunk: Optional[int] = 16):
         self.params = params
         self.cfg = cfg or HandConfig()
         self.crop_size = crop_size
@@ -236,6 +270,9 @@ class BatchedHandPipeline:
         # global argmax (identical whenever the max lies in the best blob).
         # The single-scale production branch always uses coarse-to-fine argmax.
         self.peak_mode = peak_mode
+        # lax.map chunk for the fused crop-extraction/refine stages (the CPM
+        # forward itself stays fully batched); see _chunked_vmap.
+        self.crop_chunk = crop_chunk
         self._programs = {}
 
     def _program(self, n: int):
@@ -345,11 +382,14 @@ class BatchedHandPipeline:
                     return dynamic_crop_resize(frame, x0, y0,
                                                jnp.maximum(w, 1), size)
 
-                crops = jax.vmap(one_crop)(boxes)          # [N,size,size,3]
+                crops = _chunked_vmap(one_crop, (boxes,),
+                                      self.crop_chunk)    # [N,size,size,3]
                 x = crops / 256.0 - 0.5
-                heat = cpm.hand_forward(params, x, cd)
-                pk = jax.vmap(lambda h: find_hand_peaks_refine(
-                    h[:, :, :cfg.n_parts], cfg.thre))(heat)
+                heat = cpm.hand_forward(params, x, cd)    # stays one batch
+                pk = _chunked_vmap(
+                    lambda h: find_hand_peaks_refine(
+                        h[:, :, :cfg.n_parts], cfg.thre),
+                    (heat,), self.crop_chunk)
                 # scale peaks from `size` coords back to frame coords
                 scale = boxes[:, 3:4].astype(jnp.float32) / size
                 xy = (pk.xy.astype(jnp.float32) * scale[:, :, None]

@@ -241,3 +241,25 @@ def test_hand_empty_heatmap(rng):
     crop = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
     peaks = hand(crop)
     np.testing.assert_array_equal(peaks, np.zeros((21, 2), np.int32))
+
+
+def test_hand_crop_chunking_bitwise_equal(rng):
+    """lax.map-chunked crop extraction/refine (compile-time control for the
+    fused hand program) is bitwise-identical to the flat vmap."""
+    from islx.core.config import HandConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import BatchedHandPipeline
+
+    B, hb, wb, n = 4, 96, 128, 8
+    params = cpm.init_params("hand")
+    frames = (rng.rand(B, hb, wb, 3) * 255).astype(np.uint8)
+    flat = jnp.asarray(frames.reshape(-1))
+    boxes = np.stack([np.arange(n) % B, rng.randint(0, 60, n),
+                      rng.randint(0, 40, n), np.full(n, 40)], 1).astype(np.int32)
+    outs = []
+    for chunk in (None, 4):
+        hand = BatchedHandPipeline(params, HandConfig(scale_search=(0.5,)),
+                                   compute_dtype=jnp.float32,
+                                   crop_chunk=chunk)
+        outs.append(hand.from_frames(flat, B, hb, wb, boxes))
+    np.testing.assert_array_equal(outs[0], outs[1])

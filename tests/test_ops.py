@@ -180,3 +180,50 @@ class TestHandPeaks:
         got = find_hand_peaks(jnp.asarray(hm), 0.05)
         want = _oracle_hand_peak(hm[:, :, 0], 0.05)
         assert (int(got.xy[0, 0]), int(got.xy[0, 1])) == want
+
+
+class TestFusedPeaks:
+    def test_matches_unfused_chain(self, rng):
+        """find_peaks_fused(heat8) == find_peaks(resize_cubic(heat8)) —
+        identical positions/validity/count, scores equal to the exact cubic
+        upsample values (the blur folds algebraically into the upsample)."""
+        from islx.ops.peaks import find_peaks, find_peaks_fused
+        from islx.ops.resize import resize_cubic
+
+        h8, w8, c = 12, 16, 7
+        hb, wb = h8 * 8, w8 * 8
+        yy, xx = np.mgrid[0:h8, 0:w8]
+        hm = np.zeros((h8, w8, c), np.float32)
+        for ch in range(c):
+            for _ in range(rng.randint(1, 4)):
+                # continuous, asymmetric blob centres: a symmetric blob
+                # upsampled x8 creates an exact 2-pixel NMS plateau whose
+                # tie the two float paths resolve differently (documented
+                # production divergence) — not what this test measures
+                cy = rng.randint(1, h8 - 1) + rng.uniform(0.05, 0.45)
+                cx = rng.randint(1, w8 - 1) + rng.uniform(0.05, 0.45)
+                sy, sx = rng.uniform(1.0, 1.6), rng.uniform(1.0, 1.6)
+                hm[:, :, ch] += rng.uniform(0.5, 1.5) * np.exp(
+                    -((yy - cy) ** 2 / sy + (xx - cx) ** 2 / sx) / 2)
+
+        full = resize_cubic(jnp.asarray(hm), hb, wb)
+        want = find_peaks(full, 0.1, 16)
+        for two_stage in (False, True):
+            got = find_peaks_fused(jnp.asarray(hm), hb, wb, 0.1, 16,
+                                   two_stage=two_stage)
+            np.testing.assert_array_equal(np.asarray(got.xy),
+                                          np.asarray(want.xy))
+            np.testing.assert_array_equal(np.asarray(got.valid),
+                                          np.asarray(want.valid))
+            np.testing.assert_array_equal(np.asarray(got.count),
+                                          np.asarray(want.count))
+            np.testing.assert_allclose(np.asarray(got.score),
+                                       np.asarray(want.score),
+                                       atol=1e-5)
+
+    def test_empty(self):
+        from islx.ops.peaks import find_peaks_fused
+
+        got = find_peaks_fused(jnp.zeros((8, 8, 3)), 64, 64, 0.1, 8)
+        assert int(got.count.sum()) == 0
+        assert not bool(got.valid.any())
