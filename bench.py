@@ -131,17 +131,21 @@ def main():
 
     consume(*dispatch())  # compile + warm
 
-    n_iters = 10 if note is None else 2
-    t0 = time.perf_counter()
-    bp, hp = dispatch()
-    for _ in range(n_iters - 1):
-        bp2, hp2 = dispatch()
+    def timed_run(n_iters: int) -> float:
+        t0 = time.perf_counter()
+        bp, hp = dispatch()
+        for _ in range(n_iters - 1):
+            bp2, hp2 = dispatch()
+            consume(bp, hp)
+            bp, hp = bp2, hp2
         consume(bp, hp)
-        bp, hp = bp2, hp2
-    consume(bp, hp)
-    dt = time.perf_counter() - t0
+        return B * n_iters / (time.perf_counter() - t0)
 
-    fps = B * n_iters / dt
+    # median of 3 runs in one process: relay transfer jitter is +-30%
+    # run-to-run, so a single window is a noisy record
+    n_iters = 10 if note is None else 2
+    reps = 3 if note is None else 1
+    fps = float(np.median([timed_run(n_iters) for _ in range(reps)]))
     record = {
         "metric": "body25_hand_fps_per_chip",
         "value": round(fps, 2),

@@ -34,7 +34,10 @@ def main(argv=None):
     p.add_argument("--camera", action="store_true",
                    help="use webcam instead of a file (demo_camera.py flow)")
     p.add_argument("--head", default=None,
-                   help="translator head checkpoint (.keras/.h5)")
+                   help="translator head checkpoint (.keras/.h5/.npz)")
+    p.add_argument("--bundle", default=None,
+                   help="translator bundle dir (body+hand+head in one — the "
+                        "reference demo_isl_translate_one_model.py flow)")
     p.add_argument("--body-weights", default=None)
     p.add_argument("--hand-weights", default=None)
     p.add_argument("--min-prob", type=float, default=0.0)
@@ -53,25 +56,38 @@ def main(argv=None):
         if not os.path.exists(args.video):
             p.error(f"no such video: {args.video}")
 
+    body_params = hand_params = None
+    head_params = load_head(args.head)
+    model_type = "body25"
+    if args.bundle:
+        from islx.core import checkpoint as ckpt
+
+        body_params, hand_params, head_params, model_type = \
+            ckpt.load_bundle(args.bundle)
+
     if args.batched and not args.camera:
         from islx.core import weights as W
         from islx.pipeline.translate import BatchedTranslatePipeline
 
         pipe = BatchedTranslatePipeline(
-            body_params=(W.load(args.body_weights, "body25")
-                         if args.body_weights else None),
-            hand_params=(W.load(args.hand_weights, "hand")
-                         if args.hand_weights else None),
-            head_params=load_head(args.head),
+            body_params=(body_params if body_params is not None
+                         else (W.load(args.body_weights, "body25")
+                               if args.body_weights else None)),
+            hand_params=(hand_params if hand_params is not None
+                         else (W.load(args.hand_weights, "hand")
+                               if args.hand_weights else None)),
+            head_params=head_params,
             batch=args.batch)
         for idx, cid, expr, prob in pipe.translate_video(args.video):
             if prob >= args.min_prob:
                 print(f"{idx} {prob:0.4f} {cid}-{expr}")
         return
 
-    body = Body(args.body_weights, "body25")
-    hand = Hand(args.hand_weights)
-    translator = ISLTranslator(body, hand, load_head(args.head))
+    body = Body(body_params if body_params is not None
+                else args.body_weights, model_type)
+    hand = Hand(hand_params if hand_params is not None
+                else args.hand_weights)
+    translator = ISLTranslator(body, hand, head_params)
 
     if args.camera:
         import cv2
