@@ -1,0 +1,72 @@
+"""CLI smoke tests for the round-2 tools: camera, dump_features, train
+(+ translate --bundle). All run the production pipelines with random weights
+on tiny synthetic inputs — the check is that each surface runs end-to-end."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    import cv2
+
+    path = str(tmp_path_factory.mktemp("clips") / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 15, (96, 72))
+    rng = np.random.RandomState(0)
+    base = (rng.rand(72, 96, 3) * 255).astype(np.uint8)
+    for i in range(24):
+        w.write(np.roll(base, i * 3, axis=1))
+    w.release()
+    return path
+
+
+def test_camera_cli_on_video(clip, tmp_path):
+    from islx.cli import camera
+
+    out = str(tmp_path / "cam.mp4")
+    camera.main(["--source", clip, "--out", out, "--max-frames", "3",
+                 "--no-window"])
+    assert os.path.getsize(out) > 0
+
+
+def test_dump_features_cli(clip, tmp_path):
+    from islx.cli import dump_features
+
+    out = str(tmp_path / "dump")
+    dump_features.main([clip, "--out-dir", out, "--frame", "1"])
+    feats = np.loadtxt(os.path.join(out, "features.txt"))
+    assert feats.shape == (156,)
+    with open(os.path.join(out, "pose.json")) as f:
+        record = json.load(f)
+    assert set(record) >= {"candidate", "subset", "all_hand_peaks",
+                           "bodypose", "handpose"}
+    assert os.path.exists(os.path.join(out, "sticks.jpg"))
+    assert os.path.exists(os.path.join(out, "annotated.jpg"))
+
+
+def test_train_cli_and_bundle_translate(clip, tmp_path):
+    """extract -> train -> bundle -> translate --bundle, the full
+    docs/TRAINING.md loop on synthetic data."""
+    from islx.cli import extract, train, translate
+
+    feat = str(tmp_path / "feat")
+    csv_path = str(tmp_path / "ds.csv")
+    with open(csv_path, "w") as f:
+        f.write(f"Filepath,expression\n{clip},Hello\n")
+    extract.main([csv_path, feat, "--num-shards", "1", "--shard-index", "0"])
+    vid = os.path.basename(clip)
+    assert os.path.isdir(os.path.join(feat, vid))
+
+    labels = str(tmp_path / "labels.csv")
+    with open(labels, "w") as f:
+        f.write(f"video_id,expression\n{vid},Hello\n")
+    head = str(tmp_path / "head.npz")
+    bundle = str(tmp_path / "bundle")
+    train.main([feat, "--labels", labels, "--out", head, "--epochs", "1",
+                "--batch", "1", "--bundle", bundle])
+    assert os.path.exists(head)
+    assert os.path.exists(os.path.join(bundle, "bundle.json"))
+
+    translate.main([clip, "--bundle", bundle, "--batched", "--batch", "8"])
