@@ -93,6 +93,81 @@ def _blurred_upsample_matrix(n_in: int, n_out: int, sigma: float,
     return (b @ r).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=1024)
+def _pyramid_axis_fold(n_bucket: int, n_scaled: int, n8_padded: int,
+                       stride: int = 8, sigma: float = 0.0,
+                       truncate: float = 4.0) -> np.ndarray:
+    """One axis of the reference's per-scale map chain as a single matrix:
+
+        x8 cubic upsample (n8_padded -> n8_padded*stride)
+        -> crop the stride padding (first n_scaled rows)
+        -> cubic resize back to the bucket (n_scaled -> n_bucket)
+        [-> gaussian blur (sigma > 0)]
+
+    (reference src/body.py:69-78 + gaussian_filter :88). All stages are
+    linear and separable, so multi-scale averaging of full-resolution maps
+    never materializes per-scale full-res tensors: each scale contributes
+    one [n_bucket, n8_padded] matmul.
+    """
+    from islx.ops.blur import _blur_matrix
+    from islx.ops.resize import _resize_matrix
+
+    up = _resize_matrix(n8_padded, n8_padded * stride).astype(np.float64)
+    m = up[:n_scaled]
+    if n_scaled != n_bucket:
+        m = _resize_matrix(n_scaled, n_bucket).astype(np.float64) @ m
+    if sigma > 0:
+        m = _blur_matrix(n_bucket, sigma, truncate).astype(np.float64) @ m
+    return m.astype(np.float32)
+
+
+def find_peaks_pyramid(heat8s, folds, weights, thre1, k: int,
+                       two_stage: bool = True) -> Peaks:
+    """Multi-scale fused peak extraction.
+
+    heat8s:  per-scale NET-resolution heatmaps [h8p_s, w8p_s, C]
+    folds:   per-scale ((fh_blur, fw_blur), (fh, fw)) jnp matrices from
+             :func:`_pyramid_axis_fold` (with/without the blur folded)
+    weights: per-scale averaging weights (1/n, or the reference's buggy
+             2^(n-1-s)/n series under ref_compat_averaging)
+
+    The blurred bucket-resolution average is built directly from the net
+    outputs (one matmul pair per scale); peak scores are the UNBLURRED
+    averaged values reconstructed exactly at the K peaks. Trace-time loop —
+    call inside a jitted program.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    blurred = None
+    for h8, ((fhb, fwb), _), w in zip(heat8s, folds, weights):
+        x = jnp.einsum("oh,hwc->owc", fhb, h8.astype(jnp.float32),
+                       precision=hi)
+        x = jnp.einsum("pw,owc->opc", fwb, x, precision=hi) * w
+        blurred = x if blurred is None else blurred + x
+    h_out, w_out, c = blurred.shape
+
+    mask = _nms_mask(blurred, thre1)
+    flat_mask = mask.transpose(2, 0, 1).reshape(c, h_out * w_out)
+    flat_idx = jnp.arange(h_out * w_out, dtype=jnp.int32)
+    keyed = jnp.where(flat_mask, flat_idx[None, :], h_out * w_out)
+    idx = _k_smallest(keyed, k, two_stage)
+    valid = idx < h_out * w_out
+    idx = jnp.where(valid, idx, 0)
+    y = idx // w_out
+    x_ = idx % w_out
+
+    score = None
+    for h8, (_, (fh, fw)), w in zip(heat8s, folds, weights):
+        rows = jnp.take(fh, y, axis=0)                  # [C, K, h8p]
+        cols = jnp.take(fw, x_, axis=0)                 # [C, K, w8p]
+        s = jnp.einsum("cki,ijc,ckj->ck", rows, h8.astype(jnp.float32),
+                       cols, precision=hi) * w
+        score = s if score is None else score + s
+    score = jnp.where(valid, score, 0.0)
+    xy = jnp.stack([x_, y], axis=-1).astype(jnp.int32)
+    count = valid.sum(axis=1).astype(jnp.int32)
+    return Peaks(xy=xy, score=score, valid=valid, count=count)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
 def find_peaks_fused(heat8: jax.Array, h_out: int, w_out: int,
                      thre1: float, k: int = 32, sigma: float = 3.0,

@@ -122,11 +122,7 @@ class BatchedBodyPipeline:
             limb_seq = jnp.asarray(self.limb_seq)
             map_idx = jnp.asarray(self.map_idx)
 
-            def program(params, frames_flat, thre1):
-                # frames arrive as a flat u8 buffer: multi-dim u8 arrays pay a
-                # massive tiled-layout conversion on host->device transfer
-                # (measured ~25MB/s vs ~1.5GB/s flat); reshape on device.
-                frames = frames_flat.reshape(b, hb, wb, 3)
+            def single_scale(params, frames, thre1):
                 x = frames.astype(jnp.float32) / 256.0 - 0.5
                 paf8, heat8 = forward(params, x, cd)
                 if self.fused_peaks:
@@ -141,17 +137,89 @@ class BatchedBodyPipeline:
                     pk = jax.vmap(lambda h: find_peaks(
                         h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks,
                         two_stage=self.two_stage_peaks))(heat)
+                return pk, paf8
+
+            def multi_scale(params, frames, thre1):
+                """Scale pyramid at batch (reference src/body.py:41-81):
+                each scale's upsample->de-pad->back-to-bucket chain is one
+                folded matmul pair (ops.peaks._pyramid_axis_fold), so the
+                pyramid average adds one small matmul per scale instead of
+                materializing per-scale full-res maps."""
+                from islx.ops.peaks import (_pyramid_axis_fold,
+                                            find_peaks_pyramid)
+                from islx.ops.resize import output_size
+
+                n_s = len(cfg.scale_search)
+                # heat averaging weights; the reference's buggy accumulator
+                # (src/body.py:80 avg += avg + h/n) is the 2^(n-1-s)/n series
+                # and only affects heatmaps, PAFs average correctly
+                if cfg.ref_compat_averaging:
+                    w_heat = [2.0 ** (n_s - 1 - i) / n_s for i in range(n_s)]
+                else:
+                    w_heat = [1.0 / n_s] * n_s
+                heat8s, paf8s, folds, gfolds = [], [], [], []
+                for s in cfg.scale_search:
+                    f = s * cfg.boxsize / hb
+                    hs, ws = output_size(hb, f), output_size(wb, f)
+                    x = (frames.astype(jnp.float32) if (hs, ws) == (hb, wb)
+                         else resize_cubic(frames, hs, ws,
+                                           saturate_uint8=True))
+                    pd, pr = pad_amounts(hs, ws, cfg.stride)
+                    x = jnp.pad(x, ((0, 0), (0, pd), (0, pr), (0, 0)),
+                                constant_values=float(cfg.pad_value))
+                    x = x / 256.0 - 0.5
+                    paf8_s, heat8_s = forward(params, x, cd)
+                    heat8s.append(heat8_s)
+                    paf8s.append(paf8_s)
+                    h8p, w8p = (hs + pd) // cfg.stride, (ws + pr) // cfg.stride
+                    fhb = _pyramid_axis_fold(hb, hs, h8p, cfg.stride, 3.0)
+                    fwb = _pyramid_axis_fold(wb, ws, w8p, cfg.stride, 3.0)
+                    fh = _pyramid_axis_fold(hb, hs, h8p, cfg.stride)
+                    fw = _pyramid_axis_fold(wb, ws, w8p, cfg.stride)
+                    folds.append(((jnp.asarray(fhb), jnp.asarray(fwb)),
+                                  (jnp.asarray(fh), jnp.asarray(fw))))
+                    # PAF sampled back onto the bucket /8 grid: rows of the
+                    # plain fold at full-res positions 0, stride, 2*stride...
+                    gfolds.append((jnp.asarray(fh[::cfg.stride]),
+                                   jnp.asarray(fw[::cfg.stride])))
+
+                pk = jax.vmap(lambda *hs_: find_peaks_pyramid(
+                    [h[:, :, :cfg.njoint - 1] for h in hs_], folds, w_heat,
+                    thre1, cfg.max_peaks, self.two_stage_peaks))(*heat8s)
+                hi = jax.lax.Precision.HIGHEST
+                # averaged PAF, reconstructed on the bucket /8 grid (mxu
+                # mode) or at full bucket resolution (exact mode)
+                mats = gfolds if self.paf_mode == "mxu" \
+                    else [f[1] for f in folds]
+                paf_avg = None
+                for p8, (gh, gw) in zip(paf8s, mats):
+                    p = jnp.einsum("oh,bhwc->bowc", gh,
+                                   p8.astype(jnp.float32), precision=hi)
+                    p = jnp.einsum("pw,bowc->bopc", gw, p,
+                                   precision=hi) / n_s
+                    paf_avg = p if paf_avg is None else paf_avg + p
+                return pk, paf_avg
+
+            def program(params, frames_flat, thre1):
+                # frames arrive as a flat u8 buffer: multi-dim u8 arrays pay a
+                # massive tiled-layout conversion on host->device transfer
+                # (measured ~25MB/s vs ~1.5GB/s flat); reshape on device.
+                frames = frames_flat.reshape(b, hb, wb, 3)
+                multi = len(cfg.scale_search) > 1
+                if multi:
+                    pk, paf_in = multi_scale(params, frames, thre1)
+                else:
+                    pk, paf_in = single_scale(params, frames, thre1)
                 if self.paf_mode == "mxu":
                     ls_fn = lambda p8, xy, v: score_limbs_mxu(  # noqa: E731
                         p8, xy, v, limb_seq, map_idx, cfg.stride, cfg.thre2,
                         cfg.mid_num, orig_h=jnp.float32(hb))
-                    paf_in = paf8
                 else:
-                    paf = resize_cubic(paf8, hb, wb)
+                    if not multi:
+                        paf_in = resize_cubic(paf_in, hb, wb)
                     ls_fn = lambda p, xy, v: score_limbs(  # noqa: E731
                         p, xy, v, limb_seq, map_idx, cfg.thre2, cfg.mid_num,
                         orig_h=jnp.float32(hb))
-                    paf_in = paf
                 cc = jax.vmap(lambda p, xy, v: compact_connections(
                     ls_fn(p, xy, v), self.top_m))(paf_in, pk.xy, pk.valid)
                 # pack every output into ONE flat f32 buffer: each separate

@@ -263,3 +263,67 @@ def test_hand_crop_chunking_bitwise_equal(rng):
                                    crop_chunk=chunk)
         outs.append(hand.from_frames(flat, B, hb, wb, boxes))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+@pytest.mark.parametrize("ref_compat", [False, True])
+def test_batched_body_multiscale_matches_parity(rng, ref_compat):
+    """Batched multi-scale body (per-scale folded matmul pyramid) == Body()
+    parity API on the same stubbed net outputs (BASELINE config #2 family),
+    for both correct averaging and the reference's buggy accumulator."""
+    import islx.pipeline.batch_pose as bp
+    from islx.pipeline.batch_pose import BatchedBodyPipeline
+    from islx.pose.body import Body
+
+    hb, wb = 48, 64
+    # continuous blob fields sampled at each scale's /8 grid, so every path
+    # sees the same underlying function
+    rs = np.random.RandomState(3)
+    heat_blobs = [(rs.uniform(0.1, 0.9), rs.uniform(0.1, 0.9),
+                   rs.uniform(0.6, 1.2)) for _ in range(40)]
+    paf_vals = (rs.rand(52) - 0.5).astype(np.float32)
+
+    def render(h8, w8):
+        yy, xx = np.mgrid[0:h8, 0:w8]
+        yn, xn = (yy + 0.5) / h8, (xx + 0.5) / w8
+        heat = np.zeros((h8, w8, 26), np.float32)
+        for ch in range(25):
+            cy, cx, a = heat_blobs[ch % len(heat_blobs)]
+            cy, cx = (cy + 0.013 * ch) % 0.9, (cx + 0.029 * ch) % 0.9
+            heat[:, :, ch] = a * np.exp(
+                -((yn - cy) ** 2 + (xn - cx) ** 2) / (2 * 0.07 ** 2))
+        paf = np.broadcast_to(paf_vals, (h8, w8, 52)).copy()
+        return paf, heat
+
+    def stub(params, x, compute_dtype=None):
+        b, h8, w8 = x.shape[0], x.shape[1] // 8, x.shape[2] // 8
+        paf, heat = render(h8, w8)
+        return (jnp.broadcast_to(jnp.asarray(paf), (b, h8, w8, 52)),
+                jnp.broadcast_to(jnp.asarray(heat), (b, h8, w8, 26)))
+
+    cfg = PoseConfig(model_type="body25", scale_search=(0.5, 1.0),
+                     boxsize=2 * hb, max_peaks=16,
+                     ref_compat_averaging=ref_compat)
+    frame = (rng.rand(hb, wb, 3) * 255).astype(np.uint8)
+    body = Body(weights={}, model_type="body25", config=cfg, forward_fn=stub)
+    cand_ref, subset_ref = body(frame)
+    assert cand_ref.shape[0] > 0  # the stub must actually produce people
+
+    orig = bp.cpm.FORWARDS["body25"]
+    bp.cpm.FORWARDS["body25"] = stub
+    try:
+        pipe = BatchedBodyPipeline({}, "body25", cfg,
+                                   compute_dtype=jnp.float32,
+                                   paf_mode="exact", two_stage_peaks=False)
+        out = pipe(np.stack([frame, frame]), orig_hw=None)
+    finally:
+        bp.cpm.FORWARDS["body25"] = orig
+
+    for cand, subset in out:
+        assert cand.shape == cand_ref.shape
+        np.testing.assert_array_equal(cand[:, :2], cand_ref[:, :2])  # coords
+        np.testing.assert_allclose(cand[:, 2], cand_ref[:, 2], atol=1e-4)
+        assert subset.shape == subset_ref.shape
+        np.testing.assert_array_equal(subset[:, :-2] >= 0,
+                                      subset_ref[:, :-2] >= 0)
+        np.testing.assert_allclose(subset[:, -2:], subset_ref[:, -2:],
+                                   atol=1e-3)
