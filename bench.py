@@ -71,7 +71,10 @@ def main():
                                           BatchedHandPipeline, bucket_for)
 
     note = None
-    if not _tpu_alive():
+    if os.environ.get("ISLX_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+        note = "CPU forced via ISLX_BENCH_CPU (functional check)"
+    elif not _tpu_alive():
         # stale relay claims can wedge the TPU for hours (see BENCH_NOTES.md);
         # a labeled CPU measurement beats recording nothing
         jax.config.update("jax_platforms", "cpu")
@@ -120,7 +123,16 @@ def main():
     hand_prog = hand._frames_program(B, hb, wb, n_boxes)
     boxes_dev = jnp.asarray(boxes)
 
+    # unique frame bytes per iteration: the relay memoizes executions on
+    # identical input buffers (CLAUDE.md), which would let repeated dispatch
+    # of one buffer skip device compute entirely. One in-place byte flip per
+    # dispatch (~zero host cost) makes every upload distinct.
+    counter = [0]
+
     def dispatch():
+        i = counter[0]
+        counter[0] += 1
+        frames[i % B, (i * 7) % hb, (i * 13) % wb, 0] ^= 1
         flat = body.upload_frames(frames)   # ONE upload feeds both programs
         return (body.device_step_flat(flat, B, hb, wb, thre1),
                 hand_prog(hand.params, flat, boxes_dev))
@@ -145,6 +157,15 @@ def main():
     # run-to-run, so a single window is a noisy record
     n_iters = 10 if note is None else 2
     reps = 3 if note is None else 1
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        # BENCH_PROFILE=dir captures a jax.profiler device trace of one
+        # measurement window (TensorBoard-compatible) — the conv-utilization
+        # workflow of TODO.md
+        from islx.utils.profiling import trace
+
+        with trace(profile_dir):
+            timed_run(n_iters)
     fps = float(np.median([timed_run(n_iters) for _ in range(reps)]))
     record = {
         "metric": "body25_hand_fps_per_chip",
