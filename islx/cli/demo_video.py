@@ -20,7 +20,7 @@ def main(argv=None):
     from islx.core.config import PoseConfig
     from islx.models import cpm
     from islx.pipeline.batch_pose import BatchedBodyPipeline, bucket_for
-    from islx.pipeline.video import FrameBatcher, FrameSource, FrameWriter
+    from islx.pipeline.video import FrameSource, FrameWriter, Prefetcher
     from islx.pose.body import Body
     from islx.pose.hand import Hand
     from islx.utils import draw
@@ -66,33 +66,63 @@ def main(argv=None):
             pipe = BatchedBodyPipeline(body_params, args.model_type,
                                        PoseConfig(model_type=args.model_type,
                                                   max_peaks=16))
-            bucket = bucket_for(meta.height, meta.width)
-            batcher = FrameBatcher(args.batch, bucket)
-            frames_raw = []
+            hb, wb = bucket_for(meta.height, meta.width)
+            sy, sx = meta.height / hb, meta.width / wb
 
-            def flush(batch, n_valid):
+            def batches():
+                """Decode + bucket-resize in the prefetch thread: yields
+                (bucketed [B,hb,wb,3], raw frames, n_valid)."""
+                raw = []
+                for f in src:
+                    raw.append(f)
+                    if len(raw) == args.batch:
+                        yield _bucket_batch(raw, hb, wb, args.batch), raw, \
+                            len(raw)
+                        raw = []
+                if raw:
+                    yield _bucket_batch(raw, hb, wb, args.batch), raw, \
+                        len(raw)
+
+            def annotate(packed, raw, n_valid):
                 nonlocal n_done
-                results = pipe(batch, orig_hw=(meta.height, meta.width))
+                results = pipe.assemble(packed, args.batch)
                 for i in range(n_valid):
-                    frame = frames_raw[i]
                     candidate, subset = results[i]
-                    canvas = draw.draw_bodypose(frame, candidate, subset,
+                    if candidate.shape[0]:
+                        candidate[:, 0] *= sx
+                        candidate[:, 1] *= sy
+                    canvas = draw.draw_bodypose(raw[i], candidate, subset,
                                                 args.model_type)
-                    canvas = _annotate_hands(canvas, frame, candidate,
+                    canvas = _annotate_hands(canvas, raw[i], candidate,
                                              subset, hand)
                     writer(canvas)
                     n_done += 1
-                frames_raw.clear()
 
-            def tee(it):
-                for f in it:
-                    frames_raw.append(f)
-                    yield f
-
-            for batch, n_valid in batcher(tee(src)):
-                flush(batch, n_valid)
+            # double-buffered: decode/resize runs in a prefetch thread,
+            # batch i+1's device program is dispatched before batch i's
+            # results are fetched/annotated (the bench.py overlap pattern,
+            # on the user-facing surface)
+            pending = None
+            for batch, raw, n_valid in Prefetcher(batches(), depth=2):
+                packed = pipe.device_step(batch)     # async dispatch
+                if pending is not None:
+                    annotate(*pending)
+                pending = (packed, raw, n_valid)
+            if pending is not None:
+                annotate(*pending)
         writer.close()
     print(f"annotated {n_done} frames -> {out_path}")
+
+
+def _bucket_batch(raw, hb: int, wb: int, batch: int) -> np.ndarray:
+    """Raw frames -> fixed [batch,hb,wb,3] bucket (tail repeats last frame)."""
+    import cv2
+
+    buf = [cv2.resize(f, (wb, hb), interpolation=cv2.INTER_CUBIC)
+           for f in raw]
+    while len(buf) < batch:
+        buf.append(buf[-1])
+    return np.stack(buf)
 
 
 def _annotate_hands(canvas, frame, candidate, subset, hand):

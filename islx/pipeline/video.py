@@ -131,6 +131,59 @@ class FrameWriter:
         self.close()
 
 
+class Prefetcher:
+    """Run an iterator in a background thread behind a bounded queue.
+
+    Overlaps host video decode/resize with device compute (the async input
+    stage of SURVEY §2.3's 'host-side async decode feeding a device prefetch
+    queue'). Order-preserving; exceptions in the producer re-raise in the
+    consumer. Use as a context manager or rely on exhaustion to join.
+    """
+
+    _DONE = object()
+
+    def __init__(self, it, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._exc = None
+
+        def run():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # propagate to the consumer
+                self._exc = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                self._thread.join()
+                if self._exc is not None:
+                    raise self._exc
+                return
+            yield item
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        # drain so the producer thread can exit
+        while self._thread.is_alive():
+            try:
+                self._q.get_nowait()
+            except Exception:
+                break
+        return False
+
+
 class FrameBatcher:
     """Group frames into fixed [B,Hb,Wb,3] buckets for device batches.
 

@@ -45,3 +45,32 @@ def test_writer_roundtrip(tmp_path, clip):
     assert (meta.width, meta.height) == (64, 48)
     with FrameSource(out) as src:
         assert len(list(src)) == 9
+
+
+class TestPrefetcher:
+    def test_order_preserved(self):
+        from islx.pipeline.video import Prefetcher
+
+        got = list(Prefetcher(iter(range(100)), depth=3))
+        assert got == list(range(100))
+
+    def test_producer_exception_propagates(self):
+        from islx.pipeline.video import Prefetcher
+
+        def gen():
+            yield 1
+            yield 2
+            raise ValueError("decode failed")
+
+        it = iter(Prefetcher(gen()))
+        assert next(it) == 1
+        assert next(it) == 2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="decode failed"):
+            next(it)
+
+    def test_empty(self):
+        from islx.pipeline.video import Prefetcher
+
+        assert list(Prefetcher(iter(()))) == []
