@@ -90,17 +90,24 @@ def save_frame(cfg: ExtractConfig, video_id: str, idx: int,
 def extract_video(cfg: ExtractConfig, pose, video_path: str,
                   video_id: Optional[str] = None) -> List[Dict]:
     """Run pose over every frame of one video (resumable)."""
-    from islx.pipeline.video import FrameSource
+    from islx.pipeline.video import FrameSource, Prefetcher
 
     video_id = video_id or os.path.basename(video_path)
     rows: List[Dict] = []
     t0 = time.time()
     with FrameSource(video_path) as src:
-        for idx, frame in enumerate(src):
-            if is_processed(cfg, video_id, idx):
-                continue
-            if cfg.augment:
-                frame = _augment_frame(cfg, video_id, idx, frame)
+
+        def decoded():
+            """Decode + augment in the prefetch thread: pose (device) and
+            the next frame's decode overlap."""
+            for idx, frame in enumerate(src):
+                if is_processed(cfg, video_id, idx):
+                    continue
+                if cfg.augment:
+                    frame = _augment_frame(cfg, video_id, idx, frame)
+                yield idx, frame
+
+        for idx, frame in Prefetcher(decoded(), depth=4):
             candidate, subset, hands = pose(frame)
             rows.append(save_frame(cfg, video_id, idx, candidate, subset,
                                    hands, frame))
