@@ -173,7 +173,11 @@ class BatchedTranslatePipeline:
             yield first
             yield from frames
 
-        for batch, n_valid in batcher(chain()):
+        from islx.pipeline.video import Prefetcher
+
+        # decode + bucket-resize in a prefetch thread; device batches are
+        # additionally double-buffered by flush()
+        for batch, n_valid in Prefetcher(batcher(chain()), depth=2):
             flush(batch, n_valid)
         if pending is not None:
             h_prev, n_prev = pending
