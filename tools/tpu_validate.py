@@ -1,0 +1,156 @@
+"""TPU validation pass — run this the moment the axon relay is reachable.
+
+One process, sequential stages (the relay allows one python process at a
+time), each printing a PASS/FAIL line; the whole run is resumable because
+compiled programs land in the persistent cache.
+
+    timeout 1500 python tools/tpu_validate.py [stage ...]
+
+Stages (default: all):
+  kernels   compile score_limbs_pallas + pallas_cc on TPU (not interpret),
+            assert equality with the XLA paths
+  handcompile  time the fused hand program compile at B=64/N=128 with and
+            without lax.map chunking (TODO: blowup fix verification)
+  fused     time the body program with fused vs unfused peak epilogue
+  profile   capture a jax.profiler trace of one bench window -> /tmp/islx_trace
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+
+def stage_kernels():
+    from islx.ops import paf as P
+    from islx.ops.hand_peaks import find_hand_peaks
+    from islx.ops.pallas_paf import score_limbs_pallas
+
+    rng = np.random.RandomState(0)
+    h, w = 184, 248
+    paf = (rng.rand(h, w, 52).astype(np.float32) - 0.5)
+    c, k = 25, 16
+    xy = np.stack([rng.randint(0, w, (c, k)), rng.randint(0, h, (c, k))],
+                  -1).astype(np.int32)
+    valid = rng.rand(c, k) > 0.4
+    args = (jnp.asarray(paf), jnp.asarray(xy), jnp.asarray(valid),
+            jnp.asarray(P.LIMB_SEQ_BODY25), jnp.asarray(P.MAP_IDX_BODY25))
+    t0 = time.time()
+    ref = P.score_limbs(*args, 0.05, 10, orig_h=float(h))
+    got = score_limbs_pallas(*args, 0.05, 10, orig_h=float(h))
+    jax.block_until_ready((ref.score, got.score))
+    ok = (np.allclose(np.asarray(ref.score), np.asarray(got.score), atol=1e-4)
+          and np.array_equal(np.asarray(ref.ok), np.asarray(got.ok)))
+    print(f"[kernels] score_limbs_pallas compiled-on-TPU equality: "
+          f"{'PASS' if ok else 'FAIL'} ({time.time() - t0:.1f}s)")
+
+    hm = np.zeros((184, 184, 21), np.float32)
+    for ch in range(21):
+        cy, cx = rng.randint(20, 160, 2)
+        yy, xx = np.mgrid[0:184, 0:184]
+        hm[:, :, ch] = rng.uniform(0.5, 1.5) * np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 4.0 ** 2))
+    t0 = time.time()
+    a = find_hand_peaks(jnp.asarray(hm), 0.05, use_pallas=False)
+    b = find_hand_peaks(jnp.asarray(hm), 0.05, use_pallas=True)
+    jax.block_until_ready((a.xy, b.xy))
+    ok = np.array_equal(np.asarray(a.xy), np.asarray(b.xy))
+    print(f"[kernels] pallas_cc compiled-on-TPU equality: "
+          f"{'PASS' if ok else 'FAIL'} ({time.time() - t0:.1f}s)")
+    # relative timing (fetch-inclusive, 5 reps each)
+    for name, fn in (("xla_cc", lambda: find_hand_peaks(
+            jnp.asarray(hm), 0.05, use_pallas=False)),
+                     ("pallas_cc", lambda: find_hand_peaks(
+                         jnp.asarray(hm), 0.05, use_pallas=True))):
+        fn()
+        t0 = time.time()
+        for _ in range(5):
+            np.asarray(fn().xy)
+        print(f"[kernels] {name}: {(time.time() - t0) / 5 * 1000:.1f} ms")
+
+
+def stage_handcompile():
+    from islx.core.config import HandConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import BatchedHandPipeline
+
+    B, hb, wb, n = 64, 184, 248, 128
+    params = cpm.init_params("hand")
+    flat = jnp.zeros((B * hb * wb * 3,), jnp.uint8)
+    boxes = jnp.asarray(
+        np.stack([np.arange(n) % B, np.full(n, 4), np.full(n, 4),
+                  np.full(n, 64)], 1), jnp.int32)
+    for chunk in (16, None):
+        hand = BatchedHandPipeline(params, HandConfig(scale_search=(1.0,)),
+                                   compute_dtype=jnp.bfloat16,
+                                   crop_chunk=chunk)
+        prog = hand._frames_program(B, hb, wb, n)
+        t0 = time.time()
+        co = prog.trace(hand.params, flat, boxes).lower().compile()
+        tc = time.time() - t0
+        t0 = time.time()
+        np.asarray(co(hand.params, flat, boxes))
+        te = time.time() - t0
+        print(f"[handcompile] chunk={chunk}: compile {tc:.1f}s "
+              f"exec {te * 1000:.0f} ms")
+
+
+def stage_fused():
+    from islx.core.config import PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import BatchedBodyPipeline
+
+    B, hb, wb = 32, 184, 248
+    params = cpm.init_params("body25")
+    frames = (np.random.RandomState(0).rand(B, hb, wb, 3) * 255
+              ).astype(np.uint8)
+    for fused in (True, False):
+        pipe = BatchedBodyPipeline(params, "body25",
+                                   PoseConfig(model_type="body25",
+                                              max_peaks=16),
+                                   compute_dtype=jnp.bfloat16,
+                                   fused_peaks=fused)
+        pipe.device_step(frames)  # compile
+        t0 = time.time()
+        for i in range(5):
+            frames[0, i, i, 0] ^= 1  # defeat relay memoization
+            np.asarray(pipe.device_step(frames))
+        print(f"[fused] fused_peaks={fused}: "
+              f"{(time.time() - t0) / 5 * 1000:.0f} ms/32-frame step "
+              f"(fetch-inclusive)")
+
+
+def stage_profile():
+    os.environ["BENCH_PROFILE"] = "/tmp/islx_trace"
+    os.environ.setdefault("BENCH_WATCHDOG_S", "1200")
+    sys.argv = ["bench.py"]
+    import importlib
+
+    bench = importlib.import_module("bench")
+    bench._watchdog()
+
+
+STAGES = {"kernels": stage_kernels, "handcompile": stage_handcompile,
+          "fused": stage_fused, "profile": stage_profile}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["kernels", "handcompile", "fused"]
+    print("devices:", jax.devices())
+    for name in names:
+        try:
+            STAGES[name]()
+        except Exception as e:  # keep later stages running
+            print(f"[{name}] ERROR: {type(e).__name__}: {e}")
