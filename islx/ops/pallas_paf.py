@@ -3,18 +3,16 @@
 The parity path samples the full-resolution PAF at 10 rounded points per
 candidate pair (islx.ops.paf.score_limbs — reference src/body.py:149-164).
 XLA lowers those lookups to HBM gathers, which run near scalar speed on TPU.
-This kernel keeps each limb's two PAF channels resident in VMEM and performs
-the per-sample loads there, with the pair geometry (norms, unit vectors,
-sample coordinates) precomputed as vectorized XLA ops outside the kernel.
+This kernel expresses the sample lookup as a tiled one-hot contraction that
+never leaves VMEM: per (limb, cell-tile) grid step it builds the one-hot
+matrix [samples, tile] from integer compares (VPU) and contracts it with the
+limb's PAF tile on the MXU, accumulating [samples, 2] in VMEM. No scalar
+loads/stores (Mosaic rejects those), no HBM gathers.
 
-Grid: one program per limb. Inputs per program:
-  paf2   [1, H, W, 2]   the limb's (x, y) PAF channels (VMEM)
-  coords [1, K*K*mid, 2] precomputed integer sample coords (VMEM, int32)
-Output:
-  sampled [1, K*K*mid, 2] PAF values at the sample points
-
-The dot with unit vectors and the acceptance criteria stay in XLA (they are
-vectorized and cheap). Numerics are identical to score_limbs.
+The pair geometry (norms, unit vectors, sample coordinates) is precomputed as
+vectorized XLA ops outside the kernel; the dot with unit vectors and the
+acceptance criteria also stay in XLA (vectorized and cheap). Numerics are
+identical to score_limbs.
 """
 from __future__ import annotations
 
@@ -23,22 +21,32 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from islx.ops.paf import LimbScores
 
+_TILE = 512  # PAF cells per grid step (lane-aligned; [n,512] one-hot in VMEM)
 
-def _sample_kernel(coords_ref, paf_ref, out_ref):
-    n = coords_ref.shape[1]
 
-    def body(i, _):
-        x = coords_ref[0, i, 0]
-        y = coords_ref[0, i, 1]
-        out_ref[0, i, 0] = paf_ref[0, y, x, 0]
-        out_ref[0, i, 1] = paf_ref[0, y, x, 1]
-        return 0
+def _sample_kernel(coords_ref, paf_ref, out_ref, *, w: int, tile: int):
+    j = pl.program_id(1)
+    xy = coords_ref[0]                                   # [n, 2] int32
+    cell = xy[:, 1] * w + xy[:, 0]                       # [n]
+    cell_ids = j * tile + jax.lax.broadcasted_iota(
+        jnp.int32, (1, tile), 1)                         # [1, tile]
+    onehot = (cell[:, None] == cell_ids).astype(jnp.float32)   # [n, tile]
+    # HIGHEST precision: the one-hot contraction must return the exact f32
+    # PAF values (default TPU matmul precision rounds operands to bf16)
+    part = jnp.dot(onehot, paf_ref[0],
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [n, 2]
 
-    jax.lax.fori_loop(0, n, body, 0)
+    @pl.when(j == 0)
+    def _init():
+        out_ref[0] = part
+
+    @pl.when(j > 0)
+    def _acc():
+        out_ref[0] += part
 
 
 def _gather_paf_pallas(paf_pairs: jax.Array, coords: jax.Array,
@@ -46,21 +54,22 @@ def _gather_paf_pallas(paf_pairs: jax.Array, coords: jax.Array,
     """paf_pairs [L,H,W,2] f32, coords [L,N,2] int32 -> [L,N,2] samples."""
     l, h, w, _ = paf_pairs.shape
     n = coords.shape[1]
+    cells = h * w
+    n_tiles = -(-cells // _TILE)
+    pad = n_tiles * _TILE - cells
+    flat = paf_pairs.reshape(l, cells, 2).astype(jnp.float32)
+    flat = jnp.pad(flat, ((0, 0), (0, pad), (0, 0)))
     return pl.pallas_call(
-        _sample_kernel,
-        grid=(l,),
+        functools.partial(_sample_kernel, w=w, tile=_TILE),
+        grid=(l, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, n, 2), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, h, w, 2), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((1, n, 2), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, _TILE, 2), lambda i, j: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, n, 2), lambda i: (i, 0, 0),
-                               memory_space=pltpu.ANY if interpret
-                               else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((l, n, 2), paf_pairs.dtype),
+        out_specs=pl.BlockSpec((1, n, 2), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((l, n, 2), jnp.float32),
         interpret=interpret,
-    )(coords, paf_pairs)
+    )(coords, flat)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 8))

@@ -95,7 +95,9 @@ class BatchedBodyPipeline:
                  compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48,
                  paf_mode: str = "mxu", two_stage_peaks: bool = True,
                  fused_peaks: Optional[bool] = None):
-        self.params = params
+        # weights pre-cast to the compute dtype: the per-step f32->bf16
+        # convert inside the program is pure HBM traffic (see cpm.cast_params)
+        self.params = cpm.cast_params(params, compute_dtype)
         self.model_type = model_type
         self.cfg = cfg or PoseConfig(model_type=model_type)
         self.compute_dtype = compute_dtype
@@ -328,7 +330,7 @@ class BatchedHandPipeline:
     def __init__(self, params: cpm.Params, cfg: Optional[HandConfig] = None,
                  crop_size: int = 368, compute_dtype=jnp.bfloat16, mesh=None,
                  peak_mode: str = "cc", crop_chunk: Optional[int] = 16):
-        self.params = params
+        self.params = cpm.cast_params(params, compute_dtype)  # see body pipe
         self.cfg = cfg or HandConfig()
         self.crop_size = crop_size
         self.compute_dtype = compute_dtype

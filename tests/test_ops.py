@@ -136,6 +136,23 @@ class TestPeaks:
         assert np.all(np.asarray(got.count) == 0)
         assert not np.any(np.asarray(got.valid))
 
+    def test_first_k_masked_dense(self, rng):
+        """The rank-based selection is exact for ANY density — including
+        clusters far denser than the old two-stage block top-k could
+        handle — and returns row-major order with sentinel padding."""
+        from islx.ops.peaks import _first_k_masked
+
+        c, n, k = 4, 5000, 16
+        mask = np.zeros((c, n), bool)
+        mask[0, 100:150] = True                 # 50 in one 2048-block
+        mask[1, [0, n - 1]] = True
+        mask[2, rng.rand(n) < 0.3] = True       # very dense
+        got = np.asarray(_first_k_masked(jnp.asarray(mask), k))
+        for ch in range(c):
+            want = np.flatnonzero(mask[ch])[:k]
+            np.testing.assert_array_equal(got[ch, :len(want)], want)
+            assert np.all(got[ch, len(want):] == n)
+
 
 def _oracle_hand_peak(map_ori, thre):
     """numpy oracle of reference hand CC peak (src/hand.py:59-73 semantics),
