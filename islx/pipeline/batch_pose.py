@@ -31,7 +31,7 @@ from islx.ops.paf import (LIMB_TABLES, compact_connections, score_limbs,
                           score_limbs_mxu)
 from islx.ops.peaks import find_peaks, find_peaks_fused
 from islx.ops.preprocess import pad_amounts
-from islx.ops.resize import dynamic_crop_resize, resize_cubic
+from islx.ops.resize import dynamic_crop_resize_batch, resize_cubic
 
 
 def _chunked_vmap(fn, args: tuple, chunk: Optional[int]):
@@ -432,8 +432,9 @@ class BatchedHandPipeline:
         """Hand program taking resident frames + dynamic boxes: no crop
         upload at all. Crops are cut and cubic-resized straight to the
         pyramid scale with on-device interpolation matrices
-        (islx.ops.resize.dynamic_crop_resize), then CPM + coarse-to-fine
-        peaks; peak coordinates are returned in FRAME space."""
+        (islx.ops.resize.dynamic_crop_resize_batch — one frame gather + two
+        batched MXU matmuls), then CPM + coarse-to-fine peaks; peak
+        coordinates are returned in FRAME space."""
         key = ("frames", b, hb, wb, n)
         if key not in self._programs:
             cfg = self.cfg
@@ -444,16 +445,9 @@ class BatchedHandPipeline:
             def program(params, frames_flat, boxes):
                 # boxes: [N,4] i32 (frame_idx, x0, y0, w); w<=0 -> invalid
                 frames = frames_flat.reshape(b, hb, wb, 3)
-
-                def one_crop(box):
-                    fidx, x0, y0, w = box[0], box[1], box[2], box[3]
-                    frame = jax.lax.dynamic_index_in_dim(
-                        frames, fidx, axis=0, keepdims=False)
-                    return dynamic_crop_resize(frame, x0, y0,
-                                               jnp.maximum(w, 1), size)
-
-                crops = _chunked_vmap(one_crop, (boxes,),
-                                      self.crop_chunk)    # [N,size,size,3]
+                crops = dynamic_crop_resize_batch(
+                    frames, boxes[:, 0], boxes[:, 1], boxes[:, 2],
+                    jnp.maximum(boxes[:, 3], 1), size)    # [N,size,size,3]
                 x = crops / 256.0 - 0.5
                 heat = cpm.hand_forward(params, x, cd)    # stays one batch
                 pk = _chunked_vmap(

@@ -45,6 +45,27 @@ class TestResize:
         got = resize.resize_by_factor(jnp.asarray(img), 0.5, 0.5).shape
         assert want[:2] == got[:2]
 
+    def test_dynamic_crop_resize_batch(self, rng):
+        """The all-batched crop-resize (one gather + two batched matmuls)
+        is bit-equal to the per-crop dynamic form."""
+        from islx.ops.resize import (dynamic_crop_resize,
+                                     dynamic_crop_resize_batch)
+
+        b, h, w, n, out = 4, 60, 80, 10, 46
+        frames = (rng.rand(b, h, w, 3) * 255).astype(np.uint8)
+        fidx = rng.randint(0, b, n).astype(np.int32)
+        cw = rng.randint(8, 40, n).astype(np.int32)
+        x0 = np.minimum(rng.randint(0, w - 8, n), w - cw).astype(np.int32)
+        y0 = np.minimum(rng.randint(0, h - 8, n), h - cw).astype(np.int32)
+        batch = np.asarray(dynamic_crop_resize_batch(
+            jnp.asarray(frames), jnp.asarray(fidx), jnp.asarray(x0),
+            jnp.asarray(y0), jnp.asarray(cw), out))
+        for i in range(n):
+            one = np.asarray(dynamic_crop_resize(
+                jnp.asarray(frames[fidx[i]]), jnp.int32(x0[i]),
+                jnp.int32(y0[i]), jnp.int32(cw[i]), out))
+            np.testing.assert_array_equal(batch[i], one)
+
     def test_batched(self, rng):
         img = rng.rand(4, 30, 40, 2).astype(np.float32)
         out = resize.resize_cubic(jnp.asarray(img), 60, 80)
