@@ -1,17 +1,19 @@
 """Benchmark: body25 + hand end-to-end frames/sec on one chip.
 
-Workload (production config, BASELINE.md configs 1-4 family): every frame runs
-the BODY_25 pipeline (bucketed scale-0.5 input, device NMS + PAF scoring +
-device-sorted connection compaction, host greedy grouping) plus TWO hand
-crops through the hand CPM pipeline (184px crop bucket upscaled on device to
-the 368px single-scale production pyramid with coarse-to-fine peak
-refinement; the reference-compat 4-scale pyramid is a config flip). Weights
-are random (the reference ships none) — FLOPs and memory traffic are
-identical to converted checkpoints.
+Workload (production config, BASELINE.md configs 1-4 family): every frame
+runs the FUSED pose program (islx.pipeline.batch_pose.FusedPosePipeline) —
+BODY_25 CPM on the bucketed scale-0.5 input, device NMS + PAF scoring +
+device-sorted connection compaction, ON-DEVICE hand-box placement from the
+PAF tables (islx.ops.hand_boxes), two hand crops per frame cut on device and
+run through the hand CPM at the 368px single-scale production pyramid with
+coarse-to-fine peak refinement — ONE u8 upload and ONE packed f32 fetch per
+batch; host greedy grouping consumes the same fetch. Weights are random (the
+reference ships none) — FLOPs and memory traffic are identical to converted
+checkpoints.
 
-The loop is double-buffered: batch i+1's device programs are dispatched
-before batch i's results are fetched, so device compute, host grouping and
-the (tunnel-limited) transfers overlap.
+The loop is double-buffered: batch i+1's device program is dispatched before
+batch i's results are fetched, so device compute, host grouping and the
+(tunnel-limited) transfers overlap.
 
 Prints one JSON line: frames/sec/chip vs the 2000 fps north star
 (BASELINE.json)."""
@@ -65,10 +67,8 @@ def _tpu_alive() -> bool:
 def main():
     import cv2
 
-    from islx.core.config import HandConfig, PoseConfig
     from islx.models import cpm
-    from islx.pipeline.batch_pose import (BatchedBodyPipeline,
-                                          BatchedHandPipeline, bucket_for)
+    from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
 
     note = None
     if os.environ.get("ISLX_BENCH_CPU"):
@@ -80,8 +80,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         note = "TPU runtime unreachable; CPU fallback measurement"
 
-    B = 32 if note is None else 4      # frames per device step
-    HANDS_PER_FRAME = 2
+    # 64 frames/step: the ~100ms fixed fetch RPC and ~70ms upload amortize
+    # over twice the device work vs B=32 (measured +20% fps; fetching every
+    # other step instead measured SLOWER — the fetch already overlaps)
+    B = 64 if note is None else 4      # frames per device step
 
     img = cv2.imread("/root/reference/images/demo.jpg")
     if img is None:
@@ -90,38 +92,24 @@ def main():
     hb, wb = bucket_for(h0, w0, target_h=184)
     frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
     frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
-    # hand boxes in frame coords; the fused pipeline cuts crops ON DEVICE
-    # from the one uploaded frame buffer (zero crop-upload bytes)
-    rs = np.random.RandomState(0)
-    n_boxes = B * HANDS_PER_FRAME
-    boxes = np.stack([
-        np.repeat(np.arange(B), HANDS_PER_FRAME),
-        rs.randint(0, wb - 64, n_boxes),
-        rs.randint(0, hb - 64, n_boxes),
-        np.full(n_boxes, 64)], axis=1).astype(np.int32)
 
-    body = BatchedBodyPipeline(
-        cpm.init_params("body25"), "body25",
-        PoseConfig(model_type="body25", max_peaks=16),
-        compute_dtype=jnp.bfloat16)
-    hand = BatchedHandPipeline(
-        cpm.init_params("hand"), HandConfig(scale_search=(1.0,)),
-        compute_dtype=jnp.bfloat16)
+    pipe = FusedPosePipeline(cpm.init_params("body25"),
+                             cpm.init_params("hand"),
+                             compute_dtype=jnp.bfloat16)
 
     # Random weights produce noise heatmaps that saturate the peak tables and
     # make the (tiny, input-dependent) host grouping step look like the whole
     # workload. Calibrate thre1 so the peak density matches real scenes
-    # (a few peaks/joint); device-side work is threshold-independent.
+    # (a few peaks/joint); device-side work is threshold-independent — hand
+    # crops run for both per-frame slots whether or not an arm was chained.
     thre1 = 0.1
     for _ in range(24):
-        packed = body.device_step(frames, thre1)
-        _, _, count, _, _, _ = body.unpack(packed, B)
+        packed = pipe.device_step(frames, (h0, w0), thre1)
+        body_view, _, _ = pipe.unpack(packed, B)
+        _, _, count, _, _, _ = pipe.body.unpack(body_view, B)
         if float(count.mean()) <= 4.0:
             break
         thre1 *= 2.0
-
-    hand_prog = hand._frames_program(B, hb, wb, n_boxes)
-    boxes_dev = jnp.asarray(boxes)
 
     # unique frame bytes per iteration: the relay memoizes executions on
     # identical input buffers (CLAUDE.md), which would let repeated dispatch
@@ -133,24 +121,23 @@ def main():
         i = counter[0]
         counter[0] += 1
         frames[i % B, (i * 7) % hb, (i * 13) % wb, 0] ^= 1
-        flat = body.upload_frames(frames)   # ONE upload feeds both programs
-        return (body.device_step_flat(flat, B, hb, wb, thre1),
-                hand_prog(hand.params, flat, boxes_dev))
+        flat = pipe.upload_frames(frames)   # the ONLY upload per step
+        return pipe.device_step_flat(flat, B, hb, wb, (h0, w0), thre1)
 
-    def consume(bp, hp):
-        out = body.assemble(bp, B)  # native C++ grouping when available
-        return out, np.asarray(hp)
+    def consume(p):
+        # native C++ grouping when available; one packed fetch per step
+        return pipe.assemble(p, B)
 
-    consume(*dispatch())  # compile + warm
+    consume(dispatch())  # compile + warm
 
     def timed_run(n_iters: int) -> float:
         t0 = time.perf_counter()
-        bp, hp = dispatch()
+        p = dispatch()
         for _ in range(n_iters - 1):
-            bp2, hp2 = dispatch()
-            consume(bp, hp)
-            bp, hp = bp2, hp2
-        consume(bp, hp)
+            p2 = dispatch()
+            consume(p)
+            p = p2
+        consume(p)
         return B * n_iters / (time.perf_counter() - t0)
 
     # median of 3 runs in one process: relay transfer jitter is +-30%

@@ -1,8 +1,10 @@
 """Video annotation demo: batched body+hand over a video file.
 
 Equivalent of reference demo_video.py, but frame-batched: frames stream
-through the bucketed BatchedBodyPipeline (one device program per batch
-instead of one per frame), hands run per detected crop.
+through ONE fused device program per batch (body CPM -> on-device hand-box
+placement -> hand CPM; islx.pipeline.batch_pose.FusedPosePipeline) — one
+upload and one packed fetch per batch, no per-crop-size compiles (the
+reference runs one Hand() call per detected crop, demo_video.py:121-140).
 
     python -m islx.cli.demo_video VIDEO [--out OUT.mp4] [--batch 16]
            [--body-weights W] [--hand-weights W] [--per-frame]
@@ -19,7 +21,8 @@ def main(argv=None):
 
     from islx.core.config import PoseConfig
     from islx.models import cpm
-    from islx.pipeline.batch_pose import BatchedBodyPipeline, bucket_for
+    from islx.pipeline.batch_pose import (BatchedBodyPipeline,
+                                          FusedPosePipeline, bucket_for)
     from islx.pipeline.video import FrameSource, FrameWriter, Prefetcher
     from islx.pose.body import Body
     from islx.pose.hand import Hand
@@ -40,13 +43,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     out_path = args.out or (args.video + ".annotated.mp4")
-    hand = None if args.no_hands else Hand(args.hand_weights)
 
     with FrameSource(args.video) as src:
         meta = src.meta
         writer = FrameWriter(out_path, meta.fps, (meta.height, meta.width))
         n_done = 0
         if args.per_frame:
+            hand = None if args.no_hands else Hand(args.hand_weights)
             body = Body(args.body_weights, args.model_type)
             for frame in src:
                 candidate, subset = body(frame)
@@ -57,15 +60,23 @@ def main(argv=None):
                 writer(canvas)
                 n_done += 1
         else:
-            body_params = (cpm.init_params(args.model_type)
-                           if args.body_weights is None else None)
             from islx.core import weights as W
 
-            if body_params is None:
-                body_params = W.load(args.body_weights, args.model_type)
-            pipe = BatchedBodyPipeline(body_params, args.model_type,
-                                       PoseConfig(model_type=args.model_type,
-                                                  max_peaks=16))
+            body_params = (cpm.init_params(args.model_type)
+                           if args.body_weights is None
+                           else W.load(args.body_weights, args.model_type))
+            pose_cfg = PoseConfig(model_type=args.model_type, max_peaks=16)
+            if args.no_hands:
+                pipe = BatchedBodyPipeline(body_params, args.model_type,
+                                           pose_cfg)
+            else:
+                hand_params = (cpm.init_params("hand")
+                               if args.hand_weights is None
+                               else W.load(args.hand_weights, "hand"))
+                # body + on-device hand boxes + hand CPM in one program:
+                # one upload, one fetch per batch
+                pipe = FusedPosePipeline(body_params, hand_params,
+                                         args.model_type, pose_cfg)
             hb, wb = bucket_for(meta.height, meta.width)
             sy, sx = meta.height / hb, meta.width / wb
 
@@ -83,9 +94,15 @@ def main(argv=None):
                     yield _bucket_batch(raw, hb, wb, args.batch), raw, \
                         len(raw)
 
+            n_slots = FusedPosePipeline.MAX_HANDS
+
             def annotate(packed, raw, n_valid):
                 nonlocal n_done
-                results = pipe.assemble(packed, args.batch)
+                if args.no_hands:
+                    results = pipe.assemble(packed, args.batch)
+                    boxes = peaks = None
+                else:
+                    results, boxes, peaks = pipe.assemble(packed, args.batch)
                 for i in range(n_valid):
                     candidate, subset = results[i]
                     if candidate.shape[0]:
@@ -93,10 +110,28 @@ def main(argv=None):
                         candidate[:, 1] *= sy
                     canvas = draw.draw_bodypose(raw[i], candidate, subset,
                                                 args.model_type)
-                    canvas = _annotate_hands(canvas, raw[i], candidate,
-                                             subset, hand)
+                    if peaks is not None:
+                        hands = []
+                        for slot in range(n_slots):
+                            j = i * n_slots + slot
+                            if boxes[j, 3] <= 0:
+                                continue
+                            pk = peaks[j].astype(np.float64)
+                            pk[:, 0] = np.where(pk[:, 0] == 0, 0,
+                                                pk[:, 0] * sx)
+                            pk[:, 1] = np.where(pk[:, 1] == 0, 0,
+                                                pk[:, 1] * sy)
+                            hands.append(np.rint(pk).astype(np.int64))
+                        canvas = draw.draw_handpose(canvas, hands)
                     writer(canvas)
                     n_done += 1
+
+            def dispatch(batch):
+                flat = pipe.upload_frames(batch)
+                if args.no_hands:
+                    return pipe.device_step_flat(flat, args.batch, hb, wb)
+                return pipe.device_step_flat(flat, args.batch, hb, wb,
+                                             (meta.height, meta.width))
 
             # double-buffered: decode/resize runs in a prefetch thread,
             # batch i+1's device program is dispatched before batch i's
@@ -104,7 +139,7 @@ def main(argv=None):
             # on the user-facing surface)
             pending = None
             for batch, raw, n_valid in Prefetcher(batches(), depth=2):
-                packed = pipe.device_step(batch)     # async dispatch
+                packed = dispatch(batch)
                 if pending is not None:
                     annotate(*pending)
                 pending = (packed, raw, n_valid)

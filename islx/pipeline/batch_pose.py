@@ -87,6 +87,20 @@ def detect_hand_boxes(results, hb: int, wb: int, orig_hw: Tuple[int, int],
     return boxes
 
 
+def _pack_body(pk, cc) -> jax.Array:
+    """Pack the peak + connection tables into ONE flat f32 buffer: each
+    separate device->host fetch pays a fixed RPC round trip on tunneled TPU
+    runtimes, so every program returns a single (small) download."""
+    return jnp.concatenate([
+        pk.xy.astype(jnp.float32).reshape(-1),
+        pk.score.reshape(-1),
+        pk.count.astype(jnp.float32).reshape(-1),
+        cc.pair.astype(jnp.float32).reshape(-1),
+        cc.score.reshape(-1),
+        cc.ok.astype(jnp.float32).reshape(-1),
+    ])
+
+
 class BatchedBodyPipeline:
     """Fixed-bucket batched body pose: u8 frames -> (candidate, subset) list."""
 
@@ -115,127 +129,127 @@ class BatchedBodyPipeline:
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
+    def _core_fn(self, b: int, hb: int, wb: int):
+        """Body core: frames [b,hb,wb,3] u8-valued -> (pk, cc) device tables
+        (vmapped Peaks + CompactConnections). Shared by the standalone body
+        program and FusedPosePipeline."""
+        cfg = self.cfg
+        forward = cpm.FORWARDS[self.model_type]
+        cd = self.compute_dtype
+        limb_seq = jnp.asarray(self.limb_seq)
+        map_idx = jnp.asarray(self.map_idx)
+
+        def single_scale(params, frames, thre1):
+            x = frames.astype(jnp.float32) / 256.0 - 0.5
+            paf8, heat8 = forward(params, x, cd)
+            if self.fused_peaks:
+                # blur ∘ upsample folded into one matmul pair; the
+                # unblurred full-res heatmap is never materialized
+                pk = jax.vmap(lambda h: find_peaks_fused(
+                    h[:, :, :cfg.njoint - 1], hb, wb, thre1,
+                    cfg.max_peaks,
+                    two_stage=self.two_stage_peaks))(heat8)
+            else:
+                heat = resize_cubic(heat8, hb, wb)   # x8, batched over B
+                pk = jax.vmap(lambda h: find_peaks(
+                    h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks,
+                    two_stage=self.two_stage_peaks))(heat)
+            return pk, paf8
+
+        def multi_scale(params, frames, thre1):
+            """Scale pyramid at batch (reference src/body.py:41-81):
+            each scale's upsample->de-pad->back-to-bucket chain is one
+            folded matmul pair (ops.peaks._pyramid_axis_fold), so the
+            pyramid average adds one small matmul per scale instead of
+            materializing per-scale full-res maps."""
+            from islx.ops.peaks import (_pyramid_axis_fold,
+                                        find_peaks_pyramid)
+            from islx.ops.resize import output_size
+
+            n_s = len(cfg.scale_search)
+            # heat averaging weights; the reference's buggy accumulator
+            # (src/body.py:80 avg += avg + h/n) is the 2^(n-1-s)/n series
+            # and only affects heatmaps, PAFs average correctly
+            if cfg.ref_compat_averaging:
+                w_heat = [2.0 ** (n_s - 1 - i) / n_s for i in range(n_s)]
+            else:
+                w_heat = [1.0 / n_s] * n_s
+            heat8s, paf8s, folds, gfolds = [], [], [], []
+            for s in cfg.scale_search:
+                f = s * cfg.boxsize / hb
+                hs, ws = output_size(hb, f), output_size(wb, f)
+                x = (frames.astype(jnp.float32) if (hs, ws) == (hb, wb)
+                     else resize_cubic(frames, hs, ws,
+                                       saturate_uint8=True))
+                pd, pr = pad_amounts(hs, ws, cfg.stride)
+                x = jnp.pad(x, ((0, 0), (0, pd), (0, pr), (0, 0)),
+                            constant_values=float(cfg.pad_value))
+                x = x / 256.0 - 0.5
+                paf8_s, heat8_s = forward(params, x, cd)
+                heat8s.append(heat8_s)
+                paf8s.append(paf8_s)
+                h8p, w8p = (hs + pd) // cfg.stride, (ws + pr) // cfg.stride
+                fhb = _pyramid_axis_fold(hb, hs, h8p, cfg.stride, 3.0)
+                fwb = _pyramid_axis_fold(wb, ws, w8p, cfg.stride, 3.0)
+                fh = _pyramid_axis_fold(hb, hs, h8p, cfg.stride)
+                fw = _pyramid_axis_fold(wb, ws, w8p, cfg.stride)
+                folds.append(((jnp.asarray(fhb), jnp.asarray(fwb)),
+                              (jnp.asarray(fh), jnp.asarray(fw))))
+                # PAF sampled back onto the bucket /8 grid: rows of the
+                # plain fold at full-res positions 0, stride, 2*stride...
+                gfolds.append((jnp.asarray(fh[::cfg.stride]),
+                               jnp.asarray(fw[::cfg.stride])))
+
+            pk = jax.vmap(lambda *hs_: find_peaks_pyramid(
+                [h[:, :, :cfg.njoint - 1] for h in hs_], folds, w_heat,
+                thre1, cfg.max_peaks, self.two_stage_peaks))(*heat8s)
+            hi = jax.lax.Precision.HIGHEST
+            # averaged PAF, reconstructed on the bucket /8 grid (mxu
+            # mode) or at full bucket resolution (exact mode)
+            mats = gfolds if self.paf_mode == "mxu" \
+                else [f[1] for f in folds]
+            paf_avg = None
+            for p8, (gh, gw) in zip(paf8s, mats):
+                p = jnp.einsum("oh,bhwc->bowc", gh,
+                               p8.astype(jnp.float32), precision=hi)
+                p = jnp.einsum("pw,bowc->bopc", gw, p,
+                               precision=hi) / n_s
+                paf_avg = p if paf_avg is None else paf_avg + p
+            return pk, paf_avg
+
+        def core(params, frames, thre1):
+            multi = len(cfg.scale_search) > 1
+            if multi:
+                pk, paf_in = multi_scale(params, frames, thre1)
+            else:
+                pk, paf_in = single_scale(params, frames, thre1)
+            if self.paf_mode == "mxu":
+                ls_fn = lambda p8, xy, v: score_limbs_mxu(  # noqa: E731
+                    p8, xy, v, limb_seq, map_idx, cfg.stride, cfg.thre2,
+                    cfg.mid_num, orig_h=jnp.float32(hb))
+            else:
+                if not multi:
+                    paf_in = resize_cubic(paf_in, hb, wb)
+                ls_fn = lambda p, xy, v: score_limbs(  # noqa: E731
+                    p, xy, v, limb_seq, map_idx, cfg.thre2, cfg.mid_num,
+                    orig_h=jnp.float32(hb))
+            cc = jax.vmap(lambda p, xy, v: compact_connections(
+                ls_fn(p, xy, v), self.top_m))(paf_in, pk.xy, pk.valid)
+            return pk, cc
+
+        return core
+
     def _program(self, b: int, hb: int, wb: int):
         key = (b, hb, wb)
         if key not in self._programs:
-            cfg = self.cfg
-            forward = cpm.FORWARDS[self.model_type]
-            cd = self.compute_dtype
-            limb_seq = jnp.asarray(self.limb_seq)
-            map_idx = jnp.asarray(self.map_idx)
-
-            def single_scale(params, frames, thre1):
-                x = frames.astype(jnp.float32) / 256.0 - 0.5
-                paf8, heat8 = forward(params, x, cd)
-                if self.fused_peaks:
-                    # blur ∘ upsample folded into one matmul pair; the
-                    # unblurred full-res heatmap is never materialized
-                    pk = jax.vmap(lambda h: find_peaks_fused(
-                        h[:, :, :cfg.njoint - 1], hb, wb, thre1,
-                        cfg.max_peaks,
-                        two_stage=self.two_stage_peaks))(heat8)
-                else:
-                    heat = resize_cubic(heat8, hb, wb)   # x8, batched over B
-                    pk = jax.vmap(lambda h: find_peaks(
-                        h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks,
-                        two_stage=self.two_stage_peaks))(heat)
-                return pk, paf8
-
-            def multi_scale(params, frames, thre1):
-                """Scale pyramid at batch (reference src/body.py:41-81):
-                each scale's upsample->de-pad->back-to-bucket chain is one
-                folded matmul pair (ops.peaks._pyramid_axis_fold), so the
-                pyramid average adds one small matmul per scale instead of
-                materializing per-scale full-res maps."""
-                from islx.ops.peaks import (_pyramid_axis_fold,
-                                            find_peaks_pyramid)
-                from islx.ops.resize import output_size
-
-                n_s = len(cfg.scale_search)
-                # heat averaging weights; the reference's buggy accumulator
-                # (src/body.py:80 avg += avg + h/n) is the 2^(n-1-s)/n series
-                # and only affects heatmaps, PAFs average correctly
-                if cfg.ref_compat_averaging:
-                    w_heat = [2.0 ** (n_s - 1 - i) / n_s for i in range(n_s)]
-                else:
-                    w_heat = [1.0 / n_s] * n_s
-                heat8s, paf8s, folds, gfolds = [], [], [], []
-                for s in cfg.scale_search:
-                    f = s * cfg.boxsize / hb
-                    hs, ws = output_size(hb, f), output_size(wb, f)
-                    x = (frames.astype(jnp.float32) if (hs, ws) == (hb, wb)
-                         else resize_cubic(frames, hs, ws,
-                                           saturate_uint8=True))
-                    pd, pr = pad_amounts(hs, ws, cfg.stride)
-                    x = jnp.pad(x, ((0, 0), (0, pd), (0, pr), (0, 0)),
-                                constant_values=float(cfg.pad_value))
-                    x = x / 256.0 - 0.5
-                    paf8_s, heat8_s = forward(params, x, cd)
-                    heat8s.append(heat8_s)
-                    paf8s.append(paf8_s)
-                    h8p, w8p = (hs + pd) // cfg.stride, (ws + pr) // cfg.stride
-                    fhb = _pyramid_axis_fold(hb, hs, h8p, cfg.stride, 3.0)
-                    fwb = _pyramid_axis_fold(wb, ws, w8p, cfg.stride, 3.0)
-                    fh = _pyramid_axis_fold(hb, hs, h8p, cfg.stride)
-                    fw = _pyramid_axis_fold(wb, ws, w8p, cfg.stride)
-                    folds.append(((jnp.asarray(fhb), jnp.asarray(fwb)),
-                                  (jnp.asarray(fh), jnp.asarray(fw))))
-                    # PAF sampled back onto the bucket /8 grid: rows of the
-                    # plain fold at full-res positions 0, stride, 2*stride...
-                    gfolds.append((jnp.asarray(fh[::cfg.stride]),
-                                   jnp.asarray(fw[::cfg.stride])))
-
-                pk = jax.vmap(lambda *hs_: find_peaks_pyramid(
-                    [h[:, :, :cfg.njoint - 1] for h in hs_], folds, w_heat,
-                    thre1, cfg.max_peaks, self.two_stage_peaks))(*heat8s)
-                hi = jax.lax.Precision.HIGHEST
-                # averaged PAF, reconstructed on the bucket /8 grid (mxu
-                # mode) or at full bucket resolution (exact mode)
-                mats = gfolds if self.paf_mode == "mxu" \
-                    else [f[1] for f in folds]
-                paf_avg = None
-                for p8, (gh, gw) in zip(paf8s, mats):
-                    p = jnp.einsum("oh,bhwc->bowc", gh,
-                                   p8.astype(jnp.float32), precision=hi)
-                    p = jnp.einsum("pw,bowc->bopc", gw, p,
-                                   precision=hi) / n_s
-                    paf_avg = p if paf_avg is None else paf_avg + p
-                return pk, paf_avg
+            core = self._core_fn(b, hb, wb)
 
             def program(params, frames_flat, thre1):
                 # frames arrive as a flat u8 buffer: multi-dim u8 arrays pay a
                 # massive tiled-layout conversion on host->device transfer
                 # (measured ~25MB/s vs ~1.5GB/s flat); reshape on device.
                 frames = frames_flat.reshape(b, hb, wb, 3)
-                multi = len(cfg.scale_search) > 1
-                if multi:
-                    pk, paf_in = multi_scale(params, frames, thre1)
-                else:
-                    pk, paf_in = single_scale(params, frames, thre1)
-                if self.paf_mode == "mxu":
-                    ls_fn = lambda p8, xy, v: score_limbs_mxu(  # noqa: E731
-                        p8, xy, v, limb_seq, map_idx, cfg.stride, cfg.thre2,
-                        cfg.mid_num, orig_h=jnp.float32(hb))
-                else:
-                    if not multi:
-                        paf_in = resize_cubic(paf_in, hb, wb)
-                    ls_fn = lambda p, xy, v: score_limbs(  # noqa: E731
-                        p, xy, v, limb_seq, map_idx, cfg.thre2, cfg.mid_num,
-                        orig_h=jnp.float32(hb))
-                cc = jax.vmap(lambda p, xy, v: compact_connections(
-                    ls_fn(p, xy, v), self.top_m))(paf_in, pk.xy, pk.valid)
-                # pack every output into ONE flat f32 buffer: each separate
-                # device->host fetch pays a fixed RPC round trip on tunneled
-                # TPU runtimes, so one (small) download per step.
-                packed = jnp.concatenate([
-                    pk.xy.astype(jnp.float32).reshape(-1),
-                    pk.score.reshape(-1),
-                    pk.count.astype(jnp.float32).reshape(-1),
-                    cc.pair.astype(jnp.float32).reshape(-1),
-                    cc.score.reshape(-1),
-                    cc.ok.astype(jnp.float32).reshape(-1),
-                ])
-                return packed
+                return _pack_body(*core(params, frames, thre1))
 
             if self.mesh is None:
                 self._programs[key] = jax.jit(program)
@@ -428,37 +442,48 @@ class BatchedHandPipeline:
     # fused mode: crops cut on-device from already-resident frames
     # ------------------------------------------------------------------
 
+    def _crops_core_fn(self):
+        """Hand core: (params, frames [b,hb,wb,3], boxes [N,4]) -> (xy, valid)
+        peaks in FRAME coords. Crops are cut and cubic-resized straight to
+        the pyramid scale with on-device interpolation matrices
+        (islx.ops.resize.dynamic_crop_resize_batch — one frame gather + two
+        batched MXU matmuls), then CPM + coarse-to-fine peaks. Shared by the
+        standalone frames-program and FusedPosePipeline."""
+        cfg = self.cfg
+        cd = self.compute_dtype
+        assert len(cfg.scale_search) == 1, "fused mode is single-scale"
+        size = int(np.rint(cfg.scale_search[0] * cfg.boxsize))
+
+        def core(params, frames, boxes):
+            # boxes: [N,4] i32 (frame_idx, x0, y0, w); w<=0 -> invalid
+            crops = dynamic_crop_resize_batch(
+                frames, boxes[:, 0], boxes[:, 1], boxes[:, 2],
+                jnp.maximum(boxes[:, 3], 1), size)        # [N,size,size,3]
+            x = crops / 256.0 - 0.5
+            heat = cpm.hand_forward(params, x, cd)        # stays one batch
+            pk = _chunked_vmap(
+                lambda h: find_hand_peaks_refine(
+                    h[:, :, :cfg.n_parts], cfg.thre),
+                (heat,), self.crop_chunk)
+            # scale peaks from `size` coords back to frame coords
+            scale = boxes[:, 3:4].astype(jnp.float32) / size
+            xy = (pk.xy.astype(jnp.float32) * scale[:, :, None]
+                  + boxes[:, None, 1:3].astype(jnp.float32))
+            valid = (boxes[:, 3] > 0)[:, None] & pk.found
+            return xy, valid
+
+        return core
+
     def _frames_program(self, b: int, hb: int, wb: int, n: int):
         """Hand program taking resident frames + dynamic boxes: no crop
-        upload at all. Crops are cut and cubic-resized straight to the
-        pyramid scale with on-device interpolation matrices
-        (islx.ops.resize.dynamic_crop_resize_batch — one frame gather + two
-        batched MXU matmuls), then CPM + coarse-to-fine peaks; peak
-        coordinates are returned in FRAME space."""
+        upload at all (see _crops_core_fn); ONE packed result fetch."""
         key = ("frames", b, hb, wb, n)
         if key not in self._programs:
-            cfg = self.cfg
-            cd = self.compute_dtype
-            assert len(cfg.scale_search) == 1, "fused mode is single-scale"
-            size = int(np.rint(cfg.scale_search[0] * cfg.boxsize))
+            core = self._crops_core_fn()
 
             def program(params, frames_flat, boxes):
-                # boxes: [N,4] i32 (frame_idx, x0, y0, w); w<=0 -> invalid
                 frames = frames_flat.reshape(b, hb, wb, 3)
-                crops = dynamic_crop_resize_batch(
-                    frames, boxes[:, 0], boxes[:, 1], boxes[:, 2],
-                    jnp.maximum(boxes[:, 3], 1), size)    # [N,size,size,3]
-                x = crops / 256.0 - 0.5
-                heat = cpm.hand_forward(params, x, cd)    # stays one batch
-                pk = _chunked_vmap(
-                    lambda h: find_hand_peaks_refine(
-                        h[:, :, :cfg.n_parts], cfg.thre),
-                    (heat,), self.crop_chunk)
-                # scale peaks from `size` coords back to frame coords
-                scale = boxes[:, 3:4].astype(jnp.float32) / size
-                xy = (pk.xy.astype(jnp.float32) * scale[:, :, None]
-                      + boxes[:, None, 1:3].astype(jnp.float32))
-                valid = (boxes[:, 3] > 0)[:, None] & pk.found
+                xy, valid = core(params, frames, boxes)
                 return jnp.concatenate([
                     xy.reshape(-1), valid.astype(jnp.float32).reshape(-1)])
 
@@ -477,3 +502,121 @@ class BatchedHandPipeline:
         xy = packed[:n * c * 2].reshape(n, c, 2)
         found = packed[n * c * 2:].reshape(n, c) > 0.5
         return np.where(found[:, :, None], np.rint(xy).astype(np.int32), 0)
+
+
+class FusedPosePipeline:
+    """Body CPM + on-device hand-box placement + hand CPM in ONE program.
+
+    The split pipelines above pay, per batch: one frame upload, a body-result
+    fetch, a HOST round trip (greedy grouping -> detect_hand_boxes), a box
+    upload and a hand fetch. On tunneled TPU runtimes every transfer carries a
+    ~100ms fixed RPC cost, so those five legs — not device compute — bound
+    throughput. Here hand boxes are derived ON DEVICE from the PAF connection
+    tables (islx.ops.hand_boxes: best elbow->wrist chain per side, the
+    reference's exact box geometry) and the hand CPM runs in the same jitted
+    program: ONE u8 upload in, ONE packed f32 fetch out. Host grouping still
+    produces the full skeletons from that same fetch — it now overlaps the
+    next batch instead of gating the hand dispatch.
+
+    Divergence vs the reference flow (src/util.py:242-306 boxes from grouped
+    people): one box per arm side per frame, chained by best PAF score —
+    identical for isolated people, may pick a different person's arm in
+    overlapping multi-person scenes (PARITY.md).
+    """
+
+    def __init__(self, body_params: cpm.Params, hand_params: cpm.Params,
+                 model_type: str = "body25",
+                 pose_cfg: Optional[PoseConfig] = None,
+                 hand_cfg: Optional[HandConfig] = None,
+                 det_cfg=None,
+                 compute_dtype=jnp.bfloat16, top_m: int = 48,
+                 crop_chunk: Optional[int] = 16):
+        from islx.core.config import DetectorConfig
+
+        self.body = BatchedBodyPipeline(
+            body_params, model_type,
+            pose_cfg or PoseConfig(model_type=model_type, max_peaks=16),
+            compute_dtype=compute_dtype, top_m=top_m)
+        self.hand = BatchedHandPipeline(
+            hand_params, hand_cfg or HandConfig(scale_search=(1.0,)),
+            compute_dtype=compute_dtype, crop_chunk=crop_chunk)
+        self.det_cfg = det_cfg or DetectorConfig()
+        self.model_type = model_type
+        self._programs = {}
+
+    # hands per frame is fixed by construction: one per arm side
+    MAX_HANDS = 2
+
+    def _program(self, b: int, hb: int, wb: int, sy: float, sx: float):
+        from islx.ops.hand_boxes import device_hand_boxes
+
+        key = (b, hb, wb, float(sy), float(sx))
+        if key not in self._programs:
+            body_core = self.body._core_fn(b, hb, wb)
+            hand_core = self.hand._crops_core_fn()
+            limb_seq = self.body.limb_seq
+            det = self.det_cfg
+
+            def program(bparams, hparams, frames_flat, thre1):
+                frames = frames_flat.reshape(b, hb, wb, 3)
+                pk, cc = body_core(bparams, frames, thre1)
+                boxes2 = jax.vmap(lambda xy, p, s, o: device_hand_boxes(
+                    xy, p, s, o, limb_seq, sy, sx, hb, wb, det))(
+                    pk.xy, cc.pair, cc.score, cc.ok)      # [B,2,3]
+                fidx = jax.lax.broadcasted_iota(
+                    jnp.int32, (b, self.MAX_HANDS, 1), 0)
+                boxes = jnp.concatenate([fidx, boxes2], -1
+                                        ).reshape(b * self.MAX_HANDS, 4)
+                hxy, hvalid = hand_core(hparams, frames, boxes)
+                return jnp.concatenate([
+                    _pack_body(pk, cc),
+                    boxes.astype(jnp.float32).reshape(-1),
+                    hxy.reshape(-1),
+                    hvalid.astype(jnp.float32).reshape(-1)])
+
+            self._programs[key] = jax.jit(program)
+        return self._programs[key]
+
+    def upload_frames(self, frames: np.ndarray) -> jax.Array:
+        return self.body.upload_frames(frames)
+
+    def device_step_flat(self, flat: jax.Array, b: int, hb: int, wb: int,
+                         orig_hw: Tuple[int, int],
+                         thre1: Optional[float] = None) -> jax.Array:
+        sy, sx = orig_hw[0] / hb, orig_hw[1] / wb
+        t1 = jnp.float32(self.body.cfg.thre1 if thre1 is None else thre1)
+        return self._program(b, hb, wb, sy, sx)(
+            self.body.params, self.hand.params, flat, t1)
+
+    def device_step(self, frames: np.ndarray,
+                    orig_hw: Optional[Tuple[int, int]] = None,
+                    thre1: Optional[float] = None) -> jax.Array:
+        """frames u8 [B,Hb,Wb,3] -> packed flat f32 buffer (body tables +
+        hand boxes + hand peaks). orig_hw defaults to the bucket itself."""
+        b, hb, wb = frames.shape[0], frames.shape[1], frames.shape[2]
+        return self.device_step_flat(self.upload_frames(frames), b, hb, wb,
+                                     orig_hw or (hb, wb), thre1)
+
+    def unpack(self, packed: np.ndarray, b: int):
+        """-> (body_packed_view, boxes [B*2,4] i32, hand_peaks [B*2,21,2]
+        i32 in BUCKET frame coords, (0,0) = missing)."""
+        cfg = self.body.cfg
+        c, k = cfg.njoint - 1, cfg.max_peaks
+        l, m = self.body.limb_seq.shape[0], self.body.top_m
+        nb = b * self.MAX_HANDS
+        nh = self.hand.cfg.n_parts
+        body_len = b * (c * k * 3 + c + 3 * l * m)
+        packed = np.asarray(packed)
+        body_packed = packed[:body_len]
+        rest = packed[body_len:]
+        boxes = rest[:nb * 4].reshape(nb, 4).astype(np.int32)
+        hxy = rest[nb * 4:nb * 4 + nb * nh * 2].reshape(nb, nh, 2)
+        hfound = rest[nb * 4 + nb * nh * 2:].reshape(nb, nh) > 0.5
+        peaks = np.where(hfound[:, :, None],
+                         np.rint(hxy).astype(np.int32), 0)
+        return body_packed, boxes, peaks
+
+    def assemble(self, packed, b: int):
+        """-> (per-frame (candidate, subset) list, boxes, hand peaks)."""
+        body_packed, boxes, peaks = self.unpack(packed, b)
+        return self.body.assemble(body_packed, b), boxes, peaks

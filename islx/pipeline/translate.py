@@ -1,13 +1,16 @@
 """Batched end-to-end ISL translation — the production config-5 pipeline.
 
-Video frames -> bucketed body batches (one device program) -> hand boxes from
-the grouped skeletons -> fused on-device hand crops (zero crop upload) ->
-156-dim features -> rolling 20-frame windows -> batched BiLSTM head.
+Video frames -> ONE fused device program per batch (body CPM -> peaks/PAF
+tables -> on-device hand-box placement -> hand CPM; FusedPosePipeline) ->
+host grouping from the same fetch -> 156-dim features -> rolling 20-frame
+windows -> batched BiLSTM head.
 
-Per batch of B frames this costs ONE frame upload, two device programs, one
-tiny box upload and three small fetches — compare the reference's
-per-prediction cost of 20 full pose stacks with per-scale device round trips
-(src/ISL_Model_parameter.py:322-353, SURVEY.md §3.3).
+Per batch of B frames this costs ONE frame upload and ONE packed fetch —
+compare the reference's per-prediction cost of 20 full pose stacks with
+per-scale device round trips (src/ISL_Model_parameter.py:322-353, SURVEY.md
+§3.3), and the previous split flow's fetch -> host grouping -> box upload ->
+second fetch chain (each transfer pays a fixed RPC cost on tunneled TPU
+runtimes).
 """
 from __future__ import annotations
 
@@ -22,9 +25,7 @@ from islx.isl import features as F
 from islx.isl.expressions import EXPRESSIONS
 from islx.models import cpm
 from islx.models import translator as T
-from islx.pipeline.batch_pose import (BatchedBodyPipeline,
-                                      BatchedHandPipeline, bucket_for,
-                                      detect_hand_boxes)
+from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
 
 
 class BatchedTranslatePipeline:
@@ -39,23 +40,22 @@ class BatchedTranslatePipeline:
                  hand_cfg: Optional[HandConfig] = None,
                  cfg: TranslatorConfig = TranslatorConfig(),
                  batch: int = 16,
-                 max_hands_per_frame: int = 2,
                  compute_dtype=jnp.bfloat16):
         self.cfg = cfg
         self.batch = batch
-        self.max_hands = max_hands_per_frame
         self.model_type = model_type
-        self.body = BatchedBodyPipeline(
+        self.pipe = FusedPosePipeline(
             body_params if body_params is not None
             else cpm.init_params(model_type),
-            model_type,
-            pose_cfg or PoseConfig(model_type=model_type, max_peaks=16),
-            compute_dtype=compute_dtype)
-        self.hand = BatchedHandPipeline(
             hand_params if hand_params is not None
             else cpm.init_params("hand"),
+            model_type,
+            pose_cfg or PoseConfig(model_type=model_type, max_peaks=16),
             hand_cfg or HandConfig(scale_search=(1.0,)),
             compute_dtype=compute_dtype)
+        # one hand crop per arm side — the ISL 156-dim feature contract
+        # (body 78 + left hand 39 + right hand 39, islx.isl.features)
+        self.max_hands = FusedPosePipeline.MAX_HANDS
         self.head_params = (head_params if head_params is not None
                             else T.init_params(cfg))
         self._head = jax.jit(lambda p, x: T.forward(p, x))
@@ -66,30 +66,29 @@ class BatchedTranslatePipeline:
 
     # ------------------------------------------------------------------
 
-    def dispatch_batch(self, frames_bucketed: np.ndarray):
-        """Async: upload + dispatch the body program, return handles."""
+    def dispatch_batch(self, frames_bucketed: np.ndarray,
+                       orig_hw: Tuple[int, int]):
+        """Async: upload + dispatch the fused program, return handles."""
         b, hb, wb = frames_bucketed.shape[:3]
-        flat = self.body.upload_frames(frames_bucketed)
-        packed = self.body.device_step_flat(flat, b, hb, wb)
-        return flat, packed, (b, hb, wb)
+        flat = self.pipe.upload_frames(frames_bucketed)
+        packed = self.pipe.device_step_flat(flat, b, hb, wb, orig_hw)
+        return packed, (b, hb, wb)
 
     def finish_batch(self, handles, orig_hw: Tuple[int, int]
                      ) -> List[np.ndarray]:
-        """Consume a dispatched batch: grouping, hands, features."""
-        flat, packed, (b, hb, wb) = handles
+        """Consume a dispatched batch: one fetch -> grouping + features."""
+        packed, (b, hb, wb) = handles
         h0, w0 = orig_hw
         sy, sx = h0 / hb, w0 / wb
-        results = self.body.assemble(packed, b)
-        boxes = detect_hand_boxes(results, hb, wb, orig_hw, self.max_hands)
-        peaks = self.hand.from_frames(flat, b, hb, wb, boxes)  # bucket coords
+        results, boxes, peaks = self.pipe.assemble(packed, b)
         return self._features(results, boxes, peaks, sy, sx)
 
     def process_batch(self, frames_bucketed: np.ndarray,
                       orig_hw: Tuple[int, int]
                       ) -> List[np.ndarray]:
         """u8 [B,Hb,Wb,3] -> per-frame 156-dim feature vectors (orig coords)."""
-        return self.finish_batch(self.dispatch_batch(frames_bucketed),
-                                 orig_hw)
+        return self.finish_batch(self.dispatch_batch(frames_bucketed,
+                                                     orig_hw), orig_hw)
 
     def _features(self, results, boxes, peaks, sy, sx) -> List[np.ndarray]:
         feats = []
@@ -149,7 +148,7 @@ class BatchedTranslatePipeline:
             # double buffering: dispatch this batch's device work, then
             # consume the PREVIOUS batch while this one computes
             nonlocal pending
-            handles = self.dispatch_batch(batch)
+            handles = self.dispatch_batch(batch, hw)
             if pending is not None:
                 h_prev, n_prev = pending
                 emit(self.finish_batch(h_prev, hw)[:n_prev])

@@ -70,3 +70,13 @@ def test_train_cli_and_bundle_translate(clip, tmp_path):
     assert os.path.exists(os.path.join(bundle, "bundle.json"))
 
     translate.main([clip, "--bundle", bundle, "--batched", "--batch", "8"])
+
+
+def test_demo_video_batched_hands(clip, tmp_path):
+    """Batched demo_video with the fused hand path: one hand program over
+    on-device crops (no per-crop-size compiles)."""
+    from islx.cli import demo_video
+
+    out = str(tmp_path / "v.mp4")
+    demo_video.main([clip, "--out", out, "--batch", "4"])
+    assert os.path.getsize(out) > 0
