@@ -530,7 +530,7 @@ class FusedPosePipeline:
                  hand_cfg: Optional[HandConfig] = None,
                  det_cfg=None,
                  compute_dtype=jnp.bfloat16, top_m: int = 48,
-                 crop_chunk: Optional[int] = 16):
+                 crop_chunk: Optional[int] = 16, mesh=None):
         from islx.core.config import DetectorConfig
 
         self.body = BatchedBodyPipeline(
@@ -542,6 +542,12 @@ class FusedPosePipeline:
             compute_dtype=compute_dtype, crop_chunk=crop_chunk)
         self.det_cfg = det_cfg or DetectorConfig()
         self.model_type = model_type
+        # mesh: data-parallel frames over the `data` axis (params replicate).
+        # The crop gather indexes arbitrary frames, so XLA inserts an
+        # all-gather of the (small, u8) frame buffer along `data`; box slots
+        # are frame-aligned (crop i -> frame i//2) so everything else stays
+        # local to its shard.
+        self.mesh = mesh
         self._programs = {}
 
     # hands per frame is fixed by construction: one per arm side
@@ -574,7 +580,17 @@ class FusedPosePipeline:
                     hxy.reshape(-1),
                     hvalid.astype(jnp.float32).reshape(-1)])
 
-            self._programs[key] = jax.jit(program)
+            if self.mesh is None:
+                self._programs[key] = jax.jit(program)
+            else:
+                from islx.parallel import mesh as M
+
+                rep = M.replicated(self.mesh)
+                self._programs[key] = jax.jit(
+                    program,
+                    in_shardings=(rep, rep, M.batch_sharding(self.mesh),
+                                  None),
+                    out_shardings=rep)
         return self._programs[key]
 
     def upload_frames(self, frames: np.ndarray) -> jax.Array:

@@ -84,3 +84,25 @@ def test_batched_forward_sharded_matches_single(mesh8):
                            jax.device_put(jnp.asarray(x),
                                           M.batch_sharding(mesh8))))
     np.testing.assert_allclose(want, got, atol=1e-4)
+
+
+def test_fused_pose_pipeline_on_mesh(mesh8):
+    """Data-parallel FusedPosePipeline: sharded frames produce the same
+    packed buffer as the single-device program (params replicate; the crop
+    gather all-gathers the u8 frame buffer)."""
+    from islx.core.config import HandConfig, PoseConfig
+    from islx.pipeline.batch_pose import FusedPosePipeline
+
+    rng = np.random.RandomState(0)
+    b, hb, wb = 8, 48, 48
+    frames = (rng.rand(b, hb, wb, 3) * 255).astype(np.uint8)
+    kw = dict(model_type="body25",
+              pose_cfg=PoseConfig(model_type="body25", max_peaks=8),
+              hand_cfg=HandConfig(scale_search=(0.25,)),  # 92px: CPU-cheap
+              compute_dtype=jnp.float32)
+    bp, hp = cpm.init_params("body25"), cpm.init_params("hand")
+    single = FusedPosePipeline(bp, hp, **kw)
+    sharded = FusedPosePipeline(bp, hp, mesh=mesh8, **kw)
+    want = np.asarray(single.device_step(frames, thre1=0.05))
+    got = np.asarray(sharded.device_step(frames, thre1=0.05))
+    np.testing.assert_allclose(got, want, atol=1e-4)
