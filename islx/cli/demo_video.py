@@ -94,8 +94,6 @@ def main(argv=None):
                     yield _bucket_batch(raw, hb, wb, args.batch), raw, \
                         len(raw)
 
-            n_slots = FusedPosePipeline.MAX_HANDS
-
             def annotate(packed, raw, n_valid):
                 nonlocal n_done
                 if args.no_hands:
@@ -111,18 +109,9 @@ def main(argv=None):
                     canvas = draw.draw_bodypose(raw[i], candidate, subset,
                                                 args.model_type)
                     if peaks is not None:
-                        hands = []
-                        for slot in range(n_slots):
-                            j = i * n_slots + slot
-                            if boxes[j, 3] <= 0:
-                                continue
-                            pk = peaks[j].astype(np.float64)
-                            pk[:, 0] = np.where(pk[:, 0] == 0, 0,
-                                                pk[:, 0] * sx)
-                            pk[:, 1] = np.where(pk[:, 1] == 0, 0,
-                                                pk[:, 1] * sy)
-                            hands.append(np.rint(pk).astype(np.int64))
-                        canvas = draw.draw_handpose(canvas, hands)
+                        canvas = draw.draw_handpose(
+                            canvas, pipe.hands_for_frame(boxes, peaks, i,
+                                                         sy, sx))
                     writer(canvas)
                     n_done += 1
 

@@ -129,10 +129,10 @@ class BatchedBodyPipeline:
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
-    def _core_fn(self, b: int, hb: int, wb: int):
-        """Body core: frames [b,hb,wb,3] u8-valued -> (pk, cc) device tables
-        (vmapped Peaks + CompactConnections). Shared by the standalone body
-        program and FusedPosePipeline."""
+    def _core_fn(self, hb: int, wb: int):
+        """Body core: frames [B,hb,wb,3] u8-valued -> (pk, cc) device tables
+        (vmapped Peaks + CompactConnections, any leading batch). Shared by
+        the standalone body program and FusedPosePipeline."""
         cfg = self.cfg
         forward = cpm.FORWARDS[self.model_type]
         cd = self.compute_dtype
@@ -242,7 +242,7 @@ class BatchedBodyPipeline:
     def _program(self, b: int, hb: int, wb: int):
         key = (b, hb, wb)
         if key not in self._programs:
-            core = self._core_fn(b, hb, wb)
+            core = self._core_fn(hb, wb)
 
             def program(params, frames_flat, thre1):
                 # frames arrive as a flat u8 buffer: multi-dim u8 arrays pay a
@@ -558,7 +558,7 @@ class FusedPosePipeline:
 
         key = (b, hb, wb, float(sy), float(sx))
         if key not in self._programs:
-            body_core = self.body._core_fn(b, hb, wb)
+            body_core = self.body._core_fn(hb, wb)
             hand_core = self.hand._crops_core_fn()
             limb_seq = self.body.limb_seq
             det = self.det_cfg
@@ -636,3 +636,19 @@ class FusedPosePipeline:
         """-> (per-frame (candidate, subset) list, boxes, hand peaks)."""
         body_packed, boxes, peaks = self.unpack(packed, b)
         return self.body.assemble(body_packed, b), boxes, peaks
+
+    def hands_for_frame(self, boxes: np.ndarray, peaks: np.ndarray,
+                        fidx: int, sy: float = 1.0, sx: float = 1.0):
+        """Frame ``fidx``'s valid hand peaks as a list of [21,2] int64
+        arrays scaled from bucket to original coords ((0,0) missing-part
+        sentinels survive the multiply)."""
+        out = []
+        for slot in range(self.MAX_HANDS):
+            j = fidx * self.MAX_HANDS + slot
+            if boxes[j, 3] <= 0:
+                continue
+            pk = peaks[j].astype(np.float64)
+            pk[:, 0] *= sx
+            pk[:, 1] *= sy
+            out.append(np.rint(pk).astype(np.int64))
+        return out

@@ -97,15 +97,7 @@ class BatchedTranslatePipeline:
                 cand = cand.copy()
                 cand[:, 0] *= sx
                 cand[:, 1] *= sy
-            hands = []
-            for hslot in range(self.max_hands):
-                i = fidx * self.max_hands + hslot
-                if boxes[i, 3] <= 0:
-                    continue
-                pk = peaks[i].astype(np.float64)
-                pk[:, 0] = np.where(pk[:, 0] == 0, 0, pk[:, 0] * sx)
-                pk[:, 1] = np.where(pk[:, 1] == 0, 0, pk[:, 1] * sy)
-                hands.append(np.rint(pk).astype(np.int64))
+            hands = self.pipe.hands_for_frame(boxes, peaks, fidx, sy, sx)
             feats.append(F.frame_features(cand, subset, hands,
                                           self.model_type))
         return feats
