@@ -83,7 +83,9 @@ def main(argv=None):
                    if args.body_weights else cpm.init_params(args.model_type))
     hand_params = (W.load(args.hand_weights, "hand")
                    if args.hand_weights else cpm.init_params("hand"))
-    pose = ImagePose(body_params, hand_params, args.model_type)
+    # fused: one device program (one upload + one fetch) per frame — halves
+    # the per-frame transfer round trips on tunneled TPU runtimes
+    pose = ImagePose(body_params, hand_params, args.model_type, fused=True)
 
     cap = open_capture(args.source, args.width, args.height)
     if not cap.isOpened():

@@ -2,8 +2,18 @@
 
 The parity path (islx.pose.Body/Hand) jit-compiles per image size AND per
 hand-crop size — exact but expensive on first use. This helper runs one image
-through the bucketed batched pipelines instead: two fixed device programs
+through the bucketed batched pipelines instead: fixed device programs
 regardless of crop sizes, ≤1px coordinate differences (PARITY.md).
+
+Two modes:
+
+* default (``fused=False``) — body program, host hand-box detection from the
+  grouped skeletons (up to ``max_hands`` crops, multi-person capable), hand
+  program on the detected crops;
+* ``fused=True`` — ONE device program per frame (body CPM -> on-device
+  hand-box placement -> hand CPM, FusedPosePipeline): one upload and one
+  fetch per frame, one crop per arm side. The low-latency choice for live
+  loops (islx.cli.camera).
 """
 from __future__ import annotations
 
@@ -15,7 +25,8 @@ import numpy as np
 from islx.core.config import HandConfig, PoseConfig
 from islx.models import cpm
 from islx.pipeline.batch_pose import (BatchedBodyPipeline,
-                                      BatchedHandPipeline, bucket_for)
+                                      BatchedHandPipeline, FusedPosePipeline,
+                                      bucket_for)
 
 
 class ImagePose:
@@ -25,18 +36,28 @@ class ImagePose:
                  hand_params: Optional[cpm.Params] = None,
                  model_type: str = "body25",
                  max_hands: int = 4,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 fused: bool = False):
         self.model_type = model_type
-        self.max_hands = max_hands
-        self.body = BatchedBodyPipeline(
-            body_params if body_params is not None
-            else cpm.init_params(model_type),
-            model_type, PoseConfig(model_type=model_type, max_peaks=16),
-            compute_dtype=compute_dtype)
-        self.hand = BatchedHandPipeline(
-            hand_params if hand_params is not None
-            else cpm.init_params("hand"),
-            HandConfig(scale_search=(1.0,)), compute_dtype=compute_dtype)
+        self.fused = fused
+        body_params = (body_params if body_params is not None
+                       else cpm.init_params(model_type))
+        hand_params = (hand_params if hand_params is not None
+                       else cpm.init_params("hand"))
+        pose_cfg = PoseConfig(model_type=model_type, max_peaks=16)
+        if fused:
+            self.pipe = FusedPosePipeline(body_params, hand_params,
+                                          model_type, pose_cfg,
+                                          HandConfig(scale_search=(1.0,)),
+                                          compute_dtype=compute_dtype)
+            self.max_hands = FusedPosePipeline.MAX_HANDS
+        else:
+            self.max_hands = max_hands
+            self.body = BatchedBodyPipeline(body_params, model_type, pose_cfg,
+                                            compute_dtype=compute_dtype)
+            self.hand = BatchedHandPipeline(hand_params,
+                                            HandConfig(scale_search=(1.0,)),
+                                            compute_dtype=compute_dtype)
 
     def __call__(self, img: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray, List[np.ndarray]]:
@@ -46,25 +67,32 @@ class ImagePose:
         hb, wb = bucket_for(h0, w0, target_h=184)
         bucketed = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
         frames = bucketed[None]
-        flat = self.body.upload_frames(frames)
-        packed = self.body.device_step_flat(flat, 1, hb, wb)
-        results = self.body.assemble(packed, 1)
         sy, sx = h0 / hb, w0 / wb
-        from islx.pipeline.batch_pose import detect_hand_boxes
+        if self.fused:
+            packed = self.pipe.device_step(frames, (h0, w0))
+            results, boxes, peaks = self.pipe.assemble(packed, 1)
+            (candidate, subset), = results
+            hands = self.pipe.hands_for_frame(boxes, peaks, 0, sy, sx)
+        else:
+            flat = self.body.upload_frames(frames)
+            packed = self.body.device_step_flat(flat, 1, hb, wb)
+            results = self.body.assemble(packed, 1)
+            from islx.pipeline.batch_pose import detect_hand_boxes
 
-        boxes = detect_hand_boxes(results, hb, wb, (h0, w0), self.max_hands)
-        (candidate, subset), = results
+            boxes = detect_hand_boxes(results, hb, wb, (h0, w0),
+                                      self.max_hands)
+            (candidate, subset), = results
+            hands = []
+            if np.any(boxes[:, 3] > 0):
+                peaks = self.hand.from_frames(flat, 1, hb, wb, boxes)
+                for slot in range(self.max_hands):
+                    if boxes[slot, 3] <= 0:
+                        continue
+                    pk = peaks[slot].astype(np.float64)
+                    pk[:, 0] *= sx
+                    pk[:, 1] *= sy
+                    hands.append(np.rint(pk).astype(np.int64))
         if candidate.shape[0]:
             candidate[:, 0] *= sx
             candidate[:, 1] *= sy
-        hands: List[np.ndarray] = []
-        if np.any(boxes[:, 3] > 0):
-            peaks = self.hand.from_frames(flat, 1, hb, wb, boxes)
-            for slot in range(self.max_hands):
-                if boxes[slot, 3] <= 0:
-                    continue
-                pk = peaks[slot].astype(np.float64)
-                pk[:, 0] = np.where(pk[:, 0] == 0, 0, pk[:, 0] * sx)
-                pk[:, 1] = np.where(pk[:, 1] == 0, 0, pk[:, 1] * sy)
-                hands.append(np.rint(pk).astype(np.int64))
         return candidate, subset, hands

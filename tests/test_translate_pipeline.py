@@ -88,14 +88,15 @@ def test_image_pose(rng, monkeypatch):
     monkeypatch.setitem(bp.cpm.FORWARDS, "body25", body_fwd)
     monkeypatch.setattr(bp.cpm, "hand_forward", hand_fwd)
 
-    pose = ImagePose(body_params={}, hand_params={},
-                     compute_dtype=jnp.float32)
     img = (rng.rand(368, 256, 3) * 255).astype(np.uint8)
-    candidate, subset, hands = pose(img)
-    assert candidate.shape[1] == 4
-    assert subset.shape[0] >= 1          # dense PAF connects one person
-    # coordinates scaled back to original image space
-    assert candidate[:, 0].max() <= 256 and candidate[:, 1].max() <= 368
+    for fused in (False, True):
+        pose = ImagePose(body_params={}, hand_params={},
+                         compute_dtype=jnp.float32, fused=fused)
+        candidate, subset, hands = pose(img)
+        assert candidate.shape[1] == 4
+        assert subset.shape[0] >= 1      # dense PAF connects one person
+        # coordinates scaled back to original image space
+        assert candidate[:, 0].max() <= 256 and candidate[:, 1].max() <= 368
 
 
 def test_batched_body_coco(rng):
