@@ -131,13 +131,18 @@ def main():
     consume(dispatch())  # compile + warm
 
     def timed_run(n_iters: int) -> float:
+        # keep TWO batches in flight: upload(i+2) and fetch(i) both overlap
+        # compute(i+1) (interleaved A/B measured depth 2 > depth 1)
+        from collections import deque
+
+        q = deque()
         t0 = time.perf_counter()
-        p = dispatch()
-        for _ in range(n_iters - 1):
-            p2 = dispatch()
-            consume(p)
-            p = p2
-        consume(p)
+        for _ in range(n_iters):
+            q.append(dispatch())
+            if len(q) > 2:
+                consume(q.popleft())
+        while q:
+            consume(q.popleft())
         return B * n_iters / (time.perf_counter() - t0)
 
     # median of 3 runs in one process: relay transfer jitter is +-30%
