@@ -1,0 +1,104 @@
+"""Hand-pyramid scale quality evaluation (weights-gated).
+
+The production hand path runs a single-scale pyramid at ``scale*368`` px
+(HandConfig.scale_search). The fused pipeline's crops carry at most ~64px of
+bucket content, so `scale_search=(0.5,)` (184px net input) would cut the
+hand CPM's FLOPs 4x — IF the trained net tolerates hands at half its
+training scale (the reference hedges with a 4-scale average,
+/root/reference/src/hand.py:25). That is an empirical question that needs
+real checkpoints, which this environment does not ship (model/ is
+download-only upstream).
+
+This tool answers it the moment weights exist:
+
+    ISLX_WEIGHTS_DIR=/path/to/weights python tools/hand_scale_eval.py \
+        [--images /root/reference/images] [--crops-per-image 8]
+
+For every hand crop detected on the reference demo images it runs the hand
+CPM at scales (0.5,), (1.0,) and the reference 4-scale pyramid, and reports
+mean/max keypoint L2 of each fast config against the 4-scale reference
+peaks. A mean L2 < 1px for (0.5,) justifies flipping the production
+default and roughly doubles the end-to-end fps ceiling (BENCH_NOTES.md).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    import cv2
+
+    from islx.core import weights as W
+    from islx.core.config import HandConfig
+    from islx.pose.body import Body
+    from islx.pose.detector import hand_detect
+    from islx.pose.hand import Hand
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", default="/root/reference/images")
+    p.add_argument("--crops-per-image", type=int, default=8)
+    args = p.parse_args(argv)
+
+    wdir = os.environ.get("ISLX_WEIGHTS_DIR", "")
+    body_w = hand_w = None
+    for n in ("pose_iter_584000.caffemodel.pt", "body25.npz"):
+        q = os.path.join(wdir, n)
+        if wdir and os.path.exists(q):
+            body_w = q
+            break
+    for n in ("hand_pose_model.pth", "hand.npz"):
+        q = os.path.join(wdir, n)
+        if wdir and os.path.exists(q):
+            hand_w = q
+            break
+    if not (body_w and hand_w):
+        print("SKIP: set ISLX_WEIGHTS_DIR to a directory with downloaded "
+              "reference checkpoints (body25 + hand)")
+        return 0
+
+    body = Body(W.load(body_w, "body25"), "body25")
+    hands = {
+        "ref_4scale": Hand(W.load(hand_w, "hand"), HandConfig()),
+        "single_368": Hand(W.load(hand_w, "hand"),
+                           HandConfig(scale_search=(1.0,))),
+        "single_184": Hand(W.load(hand_w, "hand"),
+                           HandConfig(scale_search=(0.5,))),
+    }
+
+    crops = []
+    for path in sorted(glob.glob(os.path.join(args.images, "*.jpg"))):
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        candidate, subset = body(img)
+        for x, y, w, _ in hand_detect(candidate, subset, img.shape)[
+                :args.crops_per_image]:
+            crops.append((os.path.basename(path), img[y:y + w, x:x + w]))
+    if not crops:
+        print("no hand crops detected on", args.images)
+        return 1
+
+    peaks = {k: [np.asarray(h(c), np.float64) for _, c in crops]
+             for k, h in hands.items()}
+    print(f"{len(crops)} crops from {args.images}")
+    for k in ("single_368", "single_184"):
+        l2 = []
+        for ref, got in zip(peaks["ref_4scale"], peaks[k]):
+            both = (ref != 0).any(-1) & (got != 0).any(-1)
+            if both.any():
+                l2.extend(np.linalg.norm(ref[both] - got[both], axis=-1))
+        l2 = np.asarray(l2)
+        print(f"{k}: mean L2 {l2.mean():.2f}px  p95 {np.percentile(l2, 95):.2f}px"
+              f"  max {l2.max():.2f}px  ({len(l2)} matched keypoints)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
