@@ -136,3 +136,28 @@ class TestFusedPosePipeline:
         for i in range(boxes.shape[0]):
             if boxes[i, 3] == 0:
                 assert (peaks[i] == 0).all()
+
+    def test_multiscale_body_in_fused(self):
+        """The fused program composes with the batched multi-scale body
+        pyramid (BASELINE config 2 + hands in one device program)."""
+        from islx.core.config import HandConfig, PoseConfig
+        from islx.models import cpm
+        from islx.pipeline.batch_pose import FusedPosePipeline
+
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(2)
+        b, hb, wb = 2, 96, 96
+        frames = (rng.rand(b, hb, wb, 3) * 255).astype(np.uint8)
+        cfg = PoseConfig(model_type="body25", max_peaks=8,
+                         scale_search=(0.5, 1.0), boxsize=96)
+        fused = FusedPosePipeline(cpm.init_params("body25"),
+                                  cpm.init_params("hand"),
+                                  pose_cfg=cfg,
+                                  hand_cfg=HandConfig(scale_search=(0.25,)),
+                                  compute_dtype=jnp.float32)
+        packed = fused.device_step(frames, thre1=0.05)
+        body_view, boxes, peaks = fused.unpack(packed, b)
+        body_packed = np.asarray(fused.body.device_step(frames, 0.05))
+        np.testing.assert_allclose(body_view, body_packed, atol=1e-4)
+        assert boxes.shape == (b * 2, 4)
