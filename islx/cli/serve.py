@@ -1,0 +1,54 @@
+"""Pose serving daemon: HTTP endpoint over the fused device program.
+
+    python -m islx.cli.serve [--host 127.0.0.1] [--port 8008]
+           [--body-weights W] [--hand-weights W] [--model-type body25|coco]
+           [--max-batch 8] [--max-wait-ms 15]
+
+    curl -s -X POST --data-binary @image.jpg localhost:8008/pose | jq .
+    curl -s localhost:8008/healthz
+
+Concurrent requests micro-batch into shared fused device steps (one upload
++ one fetch per batch; islx/serve/). The reference has no serving surface —
+its closest analogue is the synchronous webcam loop (demo_camera.py:1-49).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    from islx.core import weights as W
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import FusedPosePipeline
+    from islx.serve import PoseServer
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--body-weights", default=None)
+    p.add_argument("--hand-weights", default=None)
+    p.add_argument("--model-type", default="body25",
+                   choices=["body25", "coco"])
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=15.0)
+    args = p.parse_args(argv)
+
+    pipe = FusedPosePipeline(
+        W.load(args.body_weights, args.model_type)
+        if args.body_weights else cpm.init_params(args.model_type),
+        W.load(args.hand_weights, "hand")
+        if args.hand_weights else cpm.init_params("hand"),
+        args.model_type)
+    server = PoseServer(pipe, args.host, args.port,
+                        max_batch=args.max_batch,
+                        max_wait_ms=args.max_wait_ms)
+    print(f"serving on http://{args.host}:{server.port}  "
+          f"(POST /pose, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

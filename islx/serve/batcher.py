@@ -1,0 +1,133 @@
+"""Dynamic micro-batching for the fused pose program.
+
+Production serving on TPU wants LARGE batches (the fixed per-dispatch RPC
+and upload costs amortize over device work — docs/PERFORMANCE.md), but
+requests arrive one at a time. The MicroBatcher bridges the two: callers
+submit single frames and block on a future; a worker thread drains the queue
+every ``max_wait_ms`` (or as soon as ``max_batch`` requests are pending),
+groups requests by input resolution (one compiled program per distinct
+resolution — static shapes, XLA's compilation model), pads the batch to the
+fixed program shape and runs ONE FusedPosePipeline step for the whole group.
+
+The reference has no serving story at all (its demos are synchronous
+per-frame loops, e.g. demo_camera.py:27-41); this subsystem is part of the
+"production deployment" surface of the rebuild.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+class PoseResult:
+    __slots__ = ("candidate", "subset", "hands")
+
+    def __init__(self, candidate, subset, hands):
+        self.candidate = candidate
+        self.subset = subset
+        self.hands = hands
+
+
+class MicroBatcher:
+    """Submit frames, get back futures resolving to PoseResult."""
+
+    def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 15.0,
+                 target_h: int = 184):
+        from islx.pipeline.batch_pose import bucket_for
+
+        self.pipe = pipe
+        self.max_batch = int(max_batch)
+        self.max_wait = max_wait_ms / 1000.0
+        self.target_h = target_h
+        self._bucket_for = bucket_for
+        self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
+        self._stats = {"requests": 0, "batches": 0, "frames_padded": 0}
+        self._stats_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+
+    def submit(self, frame_bgr_u8: np.ndarray) -> "Future[PoseResult]":
+        """Non-blocking: returns a future with the frame's PoseResult."""
+        fut: Future = Future()
+        self._q.put((np.asarray(frame_bgr_u8), fut))
+        with self._stats_lock:
+            self._stats["requests"] += 1
+        return fut
+
+    def pose(self, frame_bgr_u8: np.ndarray,
+             timeout: Optional[float] = None) -> PoseResult:
+        """Blocking convenience wrapper."""
+        return self.submit(frame_bgr_u8).result(timeout)
+
+    def stats(self) -> Dict[str, int]:
+        with self._stats_lock:
+            return dict(self._stats)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+
+    # ------------------------------------------------------------------
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            # drain: same-resolution requests batch together; others go back
+            # to the queue for the next cycle (they'd need another program)
+            hw0 = first[0].shape[:2]
+            batch = [first]
+            self._stop.wait(self.max_wait)   # batching window
+            spill = []
+            while len(batch) < self.max_batch:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if item[0].shape[:2] == hw0:
+                    batch.append(item)
+                else:
+                    spill.append(item)
+            for item in spill:
+                self._q.put(item)
+            try:
+                self._process(batch, hw0)
+            except Exception as exc:  # resolve futures, keep serving
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+    def _process(self, batch, hw0) -> None:
+        import cv2
+
+        h0, w0 = hw0
+        hb, wb = self._bucket_for(h0, w0, target_h=self.target_h)
+        frames = np.empty((self.max_batch, hb, wb, 3), np.uint8)
+        for i, (frame, _) in enumerate(batch):
+            frames[i] = cv2.resize(frame, (wb, hb),
+                                   interpolation=cv2.INTER_CUBIC)
+        for i in range(len(batch), self.max_batch):  # pad to program shape
+            frames[i] = frames[0]
+        packed = self.pipe.device_step(frames, (h0, w0))
+        results, boxes, peaks = self.pipe.assemble(packed, self.max_batch)
+        sy, sx = h0 / hb, w0 / wb
+        for i, (_, fut) in enumerate(batch):
+            candidate, subset = results[i]
+            if candidate.shape[0]:
+                candidate = candidate.copy()
+                candidate[:, 0] *= sx
+                candidate[:, 1] *= sy
+            hands = self.pipe.hands_for_frame(boxes, peaks, i, sy, sx)
+            fut.set_result(PoseResult(candidate, subset, hands))
+        with self._stats_lock:
+            self._stats["batches"] += 1
+            self._stats["frames_padded"] += self.max_batch - len(batch)

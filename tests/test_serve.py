@@ -1,0 +1,107 @@
+"""Serving subsystem: micro-batcher semantics + HTTP endpoint end-to-end
+(random weights, tiny frames; the check is batching behavior and the wire
+contract, not pose quality)."""
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    from islx.core.config import HandConfig, PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import FusedPosePipeline
+
+    return FusedPosePipeline(
+        cpm.init_params("body25"), cpm.init_params("hand"),
+        pose_cfg=PoseConfig(model_type="body25", max_peaks=8),
+        hand_cfg=HandConfig(scale_search=(0.25,)),   # 92px: CPU-cheap
+        compute_dtype=jnp.float32)
+
+
+def test_batcher_batches_concurrent_requests(pipe):
+    from islx.serve import MicroBatcher
+
+    b = MicroBatcher(pipe, max_batch=4, max_wait_ms=300.0, target_h=48)
+    try:
+        rng = np.random.RandomState(0)
+        frames = [(rng.rand(96, 96, 3) * 255).astype(np.uint8)
+                  for _ in range(4)]
+        futs = [b.submit(f) for f in frames]     # before the worker wakes
+        results = [f.result(timeout=300) for f in futs]
+        for r in results:
+            assert r.candidate.shape[1] == 4
+            assert isinstance(r.hands, list)
+        stats = b.stats()
+        assert stats["requests"] == 4
+        # all four arrived within one wait window -> shared device steps
+        assert stats["batches"] <= 2
+    finally:
+        b.close()
+
+
+def test_batcher_mixed_resolutions(pipe):
+    from islx.serve import MicroBatcher
+
+    b = MicroBatcher(pipe, max_batch=2, max_wait_ms=50.0, target_h=48)
+    try:
+        rng = np.random.RandomState(1)
+        f1 = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+        f2 = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+        r1 = b.submit(f1)
+        r2 = b.submit(f2)
+        assert r1.result(timeout=300).subset is not None
+        assert r2.result(timeout=300).subset is not None
+        assert b.stats()["batches"] >= 2      # different programs
+    finally:
+        b.close()
+
+
+def test_http_pose_endpoint(pipe):
+    import json
+    import urllib.request
+
+    import cv2
+
+    from islx.serve import PoseServer
+
+    server = PoseServer(pipe, port=0, max_batch=2, max_wait_ms=20.0)
+    server.batcher.target_h = 48
+    server.start()
+    try:
+        rng = np.random.RandomState(2)
+        img = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+        ok, buf = cv2.imencode(".jpg", img)
+        assert ok
+        url = f"http://127.0.0.1:{server.port}"
+
+        results = {}
+
+        def post(name):
+            req = urllib.request.Request(f"{url}/pose", data=buf.tobytes(),
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                results[name] = json.loads(resp.read())
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for r in results.values():
+            assert set(r) == {"candidate", "subset", "hands"}
+
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as resp:
+            health = json.loads(resp.read())
+        assert health["ok"] and health["requests"] >= 2
+
+        # undecodable body -> 400, server keeps serving
+        req = urllib.request.Request(f"{url}/pose", data=b"not an image",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.close()
