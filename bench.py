@@ -93,8 +93,23 @@ def main():
     frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
     frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
 
-    pipe = FusedPosePipeline(cpm.init_params("body25"),
-                             cpm.init_params("hand"),
+    body_params = cpm.init_params("body25")
+    hand_params = cpm.init_params("hand")
+    if os.environ.get("ISLX_BENCH_INT8"):
+        # W8A8 int8 trunk (islx.models.quant): ~2x MXU peak on v5e. Not the
+        # headline config until accuracy is validated on real checkpoints
+        # (tools/hand_scale_eval.py pattern) — this measures the speedup.
+        from islx.models import quant
+
+        xcal = frames[:2].astype(np.float32) / 256.0 - 0.5
+        body_params = quant.quantize_model(body_params, "body25", [xcal])
+        crop = cv2.resize(frame[:hb, :hb], (368, 368),
+                          interpolation=cv2.INTER_CUBIC)
+        hcal = crop[None].astype(np.float32) / 256.0 - 0.5
+        hand_params = quant.quantize_model(hand_params, "hand", [hcal])
+        note = "int8 (W8A8) trunks; accuracy unvalidated (no checkpoints)"
+
+    pipe = FusedPosePipeline(body_params, hand_params,
                              compute_dtype=jnp.bfloat16)
 
     # Random weights produce noise heatmaps that saturate the peak tables and

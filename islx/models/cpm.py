@@ -263,7 +263,7 @@ def cast_params(params: Params, dtype) -> Params:
     """
     return {
         name: {k: (v.astype(dtype) if k == "w" else v)
-               for k, v in entry.items()}
+               for k, v in entry.items()}   # w_q/s_w/a_scale pass through
         for name, entry in params.items()
     }
 
@@ -275,6 +275,15 @@ def cast_params(params: Params, dtype) -> Params:
 
 def _conv(x: jax.Array, p: Dict[str, jax.Array], c: Conv,
           compute_dtype=jnp.float32) -> jax.Array:
+    from islx.models import quant
+
+    if "w_q" in p:
+        # int8-quantized layer (islx.models.quant): same epilogue semantics,
+        # conv runs on the MXU's 2x int8 path
+        return quant.conv_q(x, p, c, compute_dtype)
+    if quant._OBSERVER is not None and not isinstance(
+            x, jax.core.Tracer):  # calibration pass (eager only)
+        quant._OBSERVER(c.name, x)
     w = p["w"].astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w,

@@ -1,0 +1,127 @@
+"""Int8 (W8A8) quantized inference for the CPM trunks.
+
+TPU v5e's MXU runs int8 matmuls at ~2x its bf16 rate (measured on the
+dominant conv shape of the hand trunk: 289 TOP/s int8 vs 161 TFLOP/s bf16,
+docs/PERFORMANCE.md). This module quantizes a CPM checkpoint so the SAME
+forward functions (islx.models.cpm.FORWARDS) dispatch every conv to the
+int8 MXU path:
+
+* weights: per-output-channel symmetric int8 (`s_w[o] = max|w[..,o]|/127`);
+* activations: per-tensor symmetric scales collected by running a few
+  calibration batches through the float net (`calibrate_scales`), then
+  quantized ON THE FLY at each conv input (activations stay bf16/f32
+  between ops — no inter-layer int8 plumbing, so concatenations and pools
+  need no scale algebra);
+* accumulation in int32, dequantize + bias + ReLU/PReLU epilogue in f32
+  exactly like the float path.
+
+Quantized params keep the caffe-blob names and flow through the existing
+pipelines untouched (`cpm._conv` auto-detects the `w_q` entry;
+`cast_params` leaves int8 leaves alone). Accuracy on real checkpoints must
+be validated before production use — like the hand-pyramid scale question
+this is gated on downloaded weights (tools/hand_scale_eval.py pattern);
+with random weights the path is still exact-int emulation-tested and
+throughput-benchmarkable (`ISLX_BENCH_INT8=1 python bench.py`).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from islx.models import cpm
+
+
+def quantize_params(params: cpm.Params, a_scales: Dict[str, float],
+                    skip: Iterable[str] = ()) -> cpm.Params:
+    """Float params + per-layer activation scales -> quantized params.
+
+    Every layer present in ``a_scales`` (and not in ``skip``) gets
+    ``w_q`` int8 [k,k,cin,cout], ``s_w`` f32 [cout], ``a_scale`` f32 scalar;
+    ``b`` (and PReLU ``p``) stay f32. Layers without a scale stay float.
+    """
+    skip = set(skip)
+    out: cpm.Params = {}
+    for name, entry in params.items():
+        if name not in a_scales or name in skip:
+            out[name] = dict(entry)
+            continue
+        w = np.asarray(entry["w"], np.float32)
+        s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+        s_w = np.where(s_w > 0, s_w, 1.0).astype(np.float32)
+        w_q = np.clip(np.rint(w / s_w), -127, 127).astype(np.int8)
+        q = {k: v for k, v in entry.items() if k != "w"}
+        q["w_q"] = jnp.asarray(w_q)
+        q["s_w"] = jnp.asarray(s_w)
+        q["a_scale"] = jnp.asarray(np.float32(max(a_scales[name], 1e-8)))
+        out[name] = q
+    return out
+
+
+def conv_q(x: jax.Array, p: Dict[str, jax.Array], c,
+           compute_dtype=jnp.float32) -> jax.Array:
+    """Int8 conv with the float path's epilogue semantics (cpm._conv)."""
+    inv = 127.0 / p["a_scale"].astype(jnp.float32)
+    x_q = jnp.clip(jnp.rint(x.astype(jnp.float32) * inv),
+                   -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x_q, p["w_q"], window_strides=(1, 1),
+        padding=[(c.pad, c.pad), (c.pad, c.pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    epi = jnp.float32 if c.head else compute_dtype
+    scale = (p["s_w"] * (p["a_scale"] / 127.0)).astype(jnp.float32)
+    out = (y.astype(jnp.float32) * scale).astype(epi) + p["b"].astype(epi)
+    if c.act == "relu":
+        out = jnp.maximum(out, jnp.asarray(0.0, epi))
+    elif c.act == "prelu":
+        a = p["p"].astype(epi)
+        out = jnp.where(out >= 0, out, a * out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Calibration: per-conv-input max|x| from eager float forwards
+# ---------------------------------------------------------------------------
+
+_OBSERVER = None  # set by calibrate_scales; cpm._conv calls it when eager
+
+
+def calibrate_scales(params: cpm.Params, model_type: str,
+                     batches: Iterable[np.ndarray],
+                     compute_dtype=jnp.float32,
+                     percentile: Optional[float] = None
+                     ) -> Dict[str, float]:
+    """Run float forwards EAGERLY over calibration batches and record each
+    conv input's max|x| (or the given percentile of |x|). batches: iterable
+    of normalized net inputs [B,H,W,3] (same preprocessing as inference:
+    x/256 - 0.5)."""
+    global _OBSERVER
+    maxima: Dict[str, float] = {}
+
+    def observe(name: str, x: jax.Array) -> None:
+        v = (float(jnp.max(jnp.abs(x))) if percentile is None
+             else float(jnp.percentile(jnp.abs(x), percentile)))
+        maxima[name] = max(maxima.get(name, 0.0), v)
+
+    _OBSERVER = observe
+    try:
+        fwd = cpm.FORWARDS[model_type]
+        for x in batches:
+            jax.block_until_ready(fwd(params, jnp.asarray(x, jnp.float32),
+                                      compute_dtype))
+    finally:
+        _OBSERVER = None
+    return maxima
+
+
+def quantize_model(params: cpm.Params, model_type: str,
+                   calib_batches: Iterable[np.ndarray],
+                   compute_dtype=jnp.float32) -> cpm.Params:
+    """One-call calibrate + quantize."""
+    scales = calibrate_scales(params, model_type, calib_batches,
+                              compute_dtype)
+    return quantize_params(params, scales)
