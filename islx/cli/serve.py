@@ -31,6 +31,10 @@ def main(argv=None):
                    choices=["body25", "coco"])
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=15.0)
+    p.add_argument("--int8-after", type=int, default=None, metavar="N",
+                   help="after N served frames, calibrate on the live "
+                        "traffic and swap in int8 (W8A8) trunks "
+                        "(~1.8x MXU; validate accuracy for your workload)")
     args = p.parse_args(argv)
 
     pipe = FusedPosePipeline(
@@ -41,7 +45,8 @@ def main(argv=None):
         args.model_type)
     server = PoseServer(pipe, args.host, args.port,
                         max_batch=args.max_batch,
-                        max_wait_ms=args.max_wait_ms)
+                        max_wait_ms=args.max_wait_ms,
+                        quantize_after=args.int8_after)
     print(f"serving on http://{args.host}:{server.port}  "
           f"(POST /pose, GET /healthz)")
     try:

@@ -36,16 +36,24 @@ class MicroBatcher:
     """Submit frames, get back futures resolving to PoseResult."""
 
     def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 15.0,
-                 target_h: int = 184):
+                 target_h: int = 184,
+                 quantize_after: Optional[int] = None):
         from islx.pipeline.batch_pose import bucket_for
 
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.max_wait = max_wait_ms / 1000.0
         self.target_h = target_h
+        # live-traffic int8 calibration: after `quantize_after` served
+        # frames, calibrate activation scales on the stored traffic and swap
+        # in W8A8 trunks (islx.models.quant) — the production pattern for a
+        # deployment with no offline calibration set. None = stay float.
+        self.quantize_after = quantize_after
+        self._calib_frames: list = []
         self._bucket_for = bucket_for
         self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
-        self._stats = {"requests": 0, "batches": 0, "frames_padded": 0}
+        self._stats = {"requests": 0, "batches": 0, "frames_padded": 0,
+                       "quantized": False}
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -117,6 +125,11 @@ class MicroBatcher:
                                    interpolation=cv2.INTER_CUBIC)
         for i in range(len(batch), self.max_batch):  # pad to program shape
             frames[i] = frames[0]
+        if (self.quantize_after is not None
+                and not self._stats["quantized"]):
+            self._calib_frames.extend(frames[i] for i in range(len(batch)))
+            if len(self._calib_frames) >= self.quantize_after:
+                self._swap_in_quantized()
         packed = self.pipe.device_step(frames, (h0, w0))
         results, boxes, peaks = self.pipe.assemble(packed, self.max_batch)
         sy, sx = h0 / hb, w0 / wb
@@ -131,3 +144,35 @@ class MicroBatcher:
         with self._stats_lock:
             self._stats["batches"] += 1
             self._stats["frames_padded"] += self.max_batch - len(batch)
+
+    def _swap_in_quantized(self) -> None:
+        """Calibrate on the stored live frames and swap in int8 trunks.
+
+        Runs on the worker thread (the only toucher of self.pipe). The
+        hand net calibrates on whole-frame resizes as crop proxies (same
+        pixel statistics). The next batch pays the new programs' compile.
+        """
+        import cv2
+
+        from islx.models import quant
+        from islx.pipeline.batch_pose import FusedPosePipeline
+
+        old = self.pipe
+        xcal = np.stack(self._calib_frames).astype(np.float32) / 256.0 - 0.5
+        size = int(np.rint(old.hand.cfg.scale_search[0]
+                           * old.hand.cfg.boxsize))
+        hcal = np.stack([
+            cv2.resize(f, (size, size), interpolation=cv2.INTER_CUBIC)
+            for f in self._calib_frames]).astype(np.float32) / 256.0 - 0.5
+        cd = old.body.compute_dtype
+        bq = quant.quantize_model(old.body.params, old.model_type, [xcal],
+                                  compute_dtype=cd)
+        hq = quant.quantize_model(old.hand.params, "hand", [hcal],
+                                  compute_dtype=cd)
+        self.pipe = FusedPosePipeline(
+            bq, hq, old.model_type, old.body.cfg, old.hand.cfg,
+            det_cfg=old.det_cfg, compute_dtype=cd, top_m=old.body.top_m,
+            crop_chunk=old.hand.crop_chunk)
+        self._calib_frames.clear()
+        with self._stats_lock:
+            self._stats["quantized"] = True

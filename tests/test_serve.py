@@ -105,3 +105,26 @@ def test_http_pose_endpoint(pipe):
         assert ei.value.code == 400
     finally:
         server.close()
+
+
+def test_live_traffic_int8_calibration(pipe):
+    """quantize_after: the batcher calibrates on served frames and swaps in
+    int8 trunks; later requests still resolve."""
+    from islx.serve import MicroBatcher
+
+    b = MicroBatcher(pipe, max_batch=2, max_wait_ms=50.0, target_h=48,
+                     quantize_after=2)
+    try:
+        rng = np.random.RandomState(3)
+        frames = [(rng.rand(96, 96, 3) * 255).astype(np.uint8)
+                  for _ in range(4)]
+        first = [b.submit(f) for f in frames[:2]]
+        for f in first:
+            assert f.result(timeout=600).candidate.shape[1] == 4
+        later = [b.submit(f) for f in frames[2:]]
+        for f in later:
+            assert f.result(timeout=600).candidate.shape[1] == 4
+        assert b.stats()["quantized"] is True
+        assert any("w_q" in e for e in b.pipe.body.params.values())
+    finally:
+        b.close()
