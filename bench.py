@@ -83,7 +83,8 @@ def main():
     # 64 frames/step: the ~100ms fixed fetch RPC and ~70ms upload amortize
     # over twice the device work vs B=32 (measured +20% fps; fetching every
     # other step instead measured SLOWER — the fetch already overlaps)
-    B = 64 if note is None else 4      # frames per device step
+    degraded = note is not None        # CPU fallback / functional check
+    B = 64 if not degraded else 4      # frames per device step
 
     img = cv2.imread("/root/reference/images/demo.jpg")
     if img is None:
@@ -107,7 +108,8 @@ def main():
                           interpolation=cv2.INTER_CUBIC)
         hcal = crop[None].astype(np.float32) / 256.0 - 0.5
         hand_params = quant.quantize_model(hand_params, "hand", [hcal])
-        note = "int8 (W8A8) trunks; accuracy unvalidated (no checkpoints)"
+        int8_label = "int8 (W8A8) trunks; accuracy unvalidated (no checkpoints)"
+        note = f"{note}; {int8_label}" if note else int8_label
 
     pipe = FusedPosePipeline(body_params, hand_params,
                              compute_dtype=jnp.bfloat16)
@@ -162,8 +164,8 @@ def main():
 
     # median of 3 runs in one process: relay transfer jitter is +-30%
     # run-to-run, so a single window is a noisy record
-    n_iters = 10 if note is None else 2
-    reps = 3 if note is None else 1
+    n_iters = 10 if not degraded else 2
+    reps = 3 if not degraded else 1
     profile_dir = os.environ.get("BENCH_PROFILE")
     if profile_dir:
         # BENCH_PROFILE=dir captures a jax.profiler device trace of one

@@ -100,12 +100,15 @@ def calibrate_scales(params: cpm.Params, model_type: str,
     of normalized net inputs [B,H,W,3] (same preprocessing as inference:
     x/256 - 0.5)."""
     global _OBSERVER
-    maxima: Dict[str, float] = {}
+    maxima: Dict[str, jax.Array] = {}
 
     def observe(name: str, x: jax.Array) -> None:
-        v = (float(jnp.max(jnp.abs(x))) if percentile is None
-             else float(jnp.percentile(jnp.abs(x), percentile)))
-        maxima[name] = max(maxima.get(name, 0.0), v)
+        # keep DEVICE scalars — one packed fetch at the end instead of a
+        # ~100ms host round trip per conv per batch (CLAUDE.md transfer rule)
+        v = (jnp.max(jnp.abs(x)) if percentile is None
+             else jnp.percentile(jnp.abs(x), percentile))
+        prev = maxima.get(name)
+        maxima[name] = v if prev is None else jnp.maximum(prev, v)
 
     _OBSERVER = observe
     try:
@@ -115,7 +118,9 @@ def calibrate_scales(params: cpm.Params, model_type: str,
                                       compute_dtype))
     finally:
         _OBSERVER = None
-    return maxima
+    names = list(maxima)
+    vals = np.asarray(jnp.stack([maxima[n] for n in names]))  # ONE fetch
+    return {n: float(v) for n, v in zip(names, vals)}
 
 
 def quantize_model(params: cpm.Params, model_type: str,

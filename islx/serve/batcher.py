@@ -85,17 +85,31 @@ class MicroBatcher:
     # ------------------------------------------------------------------
 
     def _run(self) -> None:
+        pending = []   # spilled other-resolution requests, FIFO, served
+        # ahead of the queue so sustained majority-resolution traffic
+        # cannot starve a minority-resolution request
         while not self._stop.is_set():
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
-            # drain: same-resolution requests batch together; others go back
-            # to the queue for the next cycle (they'd need another program)
+            if pending:
+                first = pending.pop(0)
+            else:
+                try:
+                    first = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                # batching window — skip it when a full batch is already
+                # queued (no dead latency on bursts)
+                if self._q.qsize() < self.max_batch - 1:
+                    self._stop.wait(self.max_wait)
+            # drain: same-resolution requests batch together; others wait
+            # in `pending` for the next cycle (they'd need another program)
             hw0 = first[0].shape[:2]
             batch = [first]
-            self._stop.wait(self.max_wait)   # batching window
-            spill = []
+            i = 0
+            while len(batch) < self.max_batch and i < len(pending):
+                if pending[i][0].shape[:2] == hw0:
+                    batch.append(pending.pop(i))
+                else:
+                    i += 1
             while len(batch) < self.max_batch:
                 try:
                     item = self._q.get_nowait()
@@ -104,9 +118,7 @@ class MicroBatcher:
                 if item[0].shape[:2] == hw0:
                     batch.append(item)
                 else:
-                    spill.append(item)
-            for item in spill:
-                self._q.put(item)
+                    pending.append(item)
             try:
                 self._process(batch, hw0)
             except Exception as exc:  # resolve futures, keep serving
@@ -127,9 +139,19 @@ class MicroBatcher:
             frames[i] = frames[0]
         if (self.quantize_after is not None
                 and not self._stats["quantized"]):
-            self._calib_frames.extend(frames[i] for i in range(len(batch)))
+            # calibration frames must share one shape (np.stack); under
+            # mixed-resolution traffic, collect only the first-seen shape
+            if (not self._calib_frames
+                    or self._calib_frames[0].shape == frames[0].shape):
+                self._calib_frames.extend(frames[i]
+                                          for i in range(len(batch)))
             if len(self._calib_frames) >= self.quantize_after:
-                self._swap_in_quantized()
+                try:
+                    self._swap_in_quantized()
+                except Exception:
+                    # a failed swap must not poison serving: stay float
+                    self.quantize_after = None
+                    self._calib_frames.clear()
         packed = self.pipe.device_step(frames, (h0, w0))
         results, boxes, peaks = self.pipe.assemble(packed, self.max_batch)
         sy, sx = h0 / hb, w0 / wb

@@ -71,6 +71,14 @@ class PoseServer:
                 import cv2
 
                 n = int(self.headers.get("Content-Length", 0))
+                if n <= 0 or n > 32 * 1024 * 1024:
+                    # drain in bounded chunks (constant memory) so the
+                    # client can read the error instead of a reset
+                    left = n
+                    while left > 0:
+                        left -= len(self.rfile.read(min(left, 1 << 20)) or b"x")
+                    self._reply(413, b'{"error": "body must be 1B-32MB"}')
+                    return
                 data = self.rfile.read(n)
                 img = cv2.imdecode(np.frombuffer(data, np.uint8),
                                    cv2.IMREAD_COLOR)

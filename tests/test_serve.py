@@ -128,3 +128,41 @@ def test_live_traffic_int8_calibration(pipe):
         assert any("w_q" in e for e in b.pipe.body.params.values())
     finally:
         b.close()
+
+
+def test_int8_calibration_survives_mixed_resolutions(pipe):
+    """Mixed-resolution traffic must not crash the quantization swap (the
+    calibration set keeps one shape; serving continues either way)."""
+    from islx.serve import MicroBatcher
+
+    b = MicroBatcher(pipe, max_batch=2, max_wait_ms=50.0, target_h=48,
+                     quantize_after=3)
+    try:
+        rng = np.random.RandomState(4)
+        futs = [b.submit((rng.rand(96, 96, 3) * 255).astype(np.uint8)),
+                b.submit((rng.rand(64, 96, 3) * 255).astype(np.uint8)),
+                b.submit((rng.rand(96, 96, 3) * 255).astype(np.uint8)),
+                b.submit((rng.rand(96, 96, 3) * 255).astype(np.uint8))]
+        for f in futs:
+            assert f.result(timeout=600).candidate.shape[1] == 4
+    finally:
+        b.close()
+
+
+def test_http_body_size_cap(pipe):
+    import urllib.error
+    import urllib.request
+
+    from islx.serve import PoseServer
+
+    server = PoseServer(pipe, port=0, max_batch=2, max_wait_ms=10.0)
+    server.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/pose",
+            data=b"\0" * (33 * 1024 * 1024), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 413
+    finally:
+        server.close()
