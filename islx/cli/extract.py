@@ -29,10 +29,13 @@ def main(argv=None):
                    help="also write stick-figure JPGs per frame")
     p.add_argument("--exact", action="store_true",
                    help="reference-parity per-frame path (compiles per "
-                        "image/crop size; the default production path uses "
-                        "two fixed device programs)")
+                        "image/crop size; the default production path runs "
+                        "one fused batched device program)")
+    p.add_argument("--batch", type=int, default=16,
+                   help="frames per fused device step (production path)")
     args = p.parse_args(argv)
 
+    batch = None
     if args.exact:
         from islx.isl.translator import ISLSignPos
         from islx.pose.body import Body
@@ -42,11 +45,15 @@ def main(argv=None):
                           Hand(args.hand_weights))
     else:
         from islx.core import weights as W
-        from islx.pipeline.image import ImagePose
+        from islx.models import cpm
+        from islx.pipeline.batch_pose import FusedPosePipeline
 
-        pose = ImagePose(
-            W.load(args.body_weights, "body25") if args.body_weights else None,
-            W.load(args.hand_weights, "hand") if args.hand_weights else None)
+        pose = FusedPosePipeline(
+            W.load(args.body_weights, "body25")
+            if args.body_weights else cpm.init_params("body25"),
+            W.load(args.hand_weights, "hand")
+            if args.hand_weights else cpm.init_params("hand"))
+        batch = args.batch
     if args.shard_index is None or args.num_shards is None:
         import jax
 
@@ -59,7 +66,7 @@ def main(argv=None):
 
     cfg = ExtractConfig(out_root=args.out_dir, write_sticks=args.sticks)
     out = extract_dataset(cfg, pose, args.csv, shard_index, num_shards,
-                          args.path_col)
+                          args.path_col, batch=batch)
     print(f"shard {shard_index}/{num_shards} -> {out}")
 
 

@@ -116,6 +116,81 @@ def extract_video(cfg: ExtractConfig, pose, video_path: str,
     return rows
 
 
+def extract_video_batched(cfg: ExtractConfig, pipe, video_path: str,
+                          video_id: Optional[str] = None,
+                          batch: int = 16) -> List[Dict]:
+    """Batched extraction: frames flow through the FUSED pose program
+    (islx.pipeline.batch_pose.FusedPosePipeline) one batch at a time — one
+    upload + one fetch per ``batch`` frames instead of the per-frame
+    transfers of :func:`extract_video`. Decode/augment/bucket run in a
+    prefetch thread and device batches are double-buffered, so decode, the
+    device program and the JSON writes all overlap. Output records are
+    identical to the per-frame path (same save_frame contract).
+    """
+    import cv2
+
+    from islx.pipeline.batch_pose import bucket_for
+    from islx.pipeline.video import FrameSource, Prefetcher
+
+    video_id = video_id or os.path.basename(video_path)
+    rows: List[Dict] = []
+    t0 = time.time()
+    with FrameSource(video_path) as src:
+        h0, w0 = src.meta.height, src.meta.width
+        hb, wb = bucket_for(h0, w0)
+        sy, sx = h0 / hb, w0 / wb
+
+        def batches():
+            """Decode + augment + bucket-resize in the prefetch thread."""
+            buf = []
+
+            def packed(items):
+                arr = np.empty((batch, hb, wb, 3), np.uint8)
+                for i, (_, f) in enumerate(items):
+                    arr[i] = cv2.resize(f, (wb, hb),
+                                        interpolation=cv2.INTER_CUBIC)
+                for i in range(len(items), batch):
+                    arr[i] = arr[0]
+                return arr, items
+
+            for idx, frame in enumerate(src):
+                if is_processed(cfg, video_id, idx):
+                    continue
+                if cfg.augment:
+                    frame = _augment_frame(cfg, video_id, idx, frame)
+                buf.append((idx, frame))
+                if len(buf) == batch:
+                    yield packed(buf)
+                    buf = []
+            if buf:
+                yield packed(buf)
+
+        def consume(handle, items):
+            results, boxes, peaks = pipe.assemble(handle, batch)
+            for i, (idx, frame) in enumerate(items):
+                candidate, subset = results[i]
+                if candidate.shape[0]:
+                    candidate = candidate.copy()
+                    candidate[:, 0] *= sx
+                    candidate[:, 1] *= sy
+                hands = pipe.hands_for_frame(boxes, peaks, i, sy, sx)
+                rows.append(save_frame(cfg, video_id, idx, candidate,
+                                       subset, hands, frame))
+
+        pending = None
+        for arr, items in Prefetcher(batches(), depth=2):
+            handle = pipe.device_step_flat(pipe.upload_frames(arr),
+                                           batch, hb, wb, (h0, w0))
+            if pending is not None:
+                consume(*pending)
+            pending = (handle, items)
+        if pending is not None:
+            consume(*pending)
+    if rows:
+        rows[-1]["exec_time_s"] = time.time() - t0
+    return rows
+
+
 def _augment_frame(cfg: ExtractConfig, video_id: str, idx: int,
                    frame: np.ndarray) -> np.ndarray:
     """Deterministic per-frame rotate+solarize (islx.ops.augment)."""
@@ -143,11 +218,14 @@ def shard_rows(rows: Sequence, shard_index: int, num_shards: int) -> List:
 
 def extract_dataset(cfg: ExtractConfig, pose, csv_path: str,
                     shard_index: int = 0, num_shards: int = 1,
-                    path_col: str = "Filepath") -> str:
+                    path_col: str = "Filepath",
+                    batch: Optional[int] = None) -> str:
     """Extract features for every video in an INCLUDE-style CSV shard.
 
-    Writes ``features-shard{i}.csv`` under out_root; aggregate with
-    :func:`islx.isl.dataset.build_table`.
+    ``pose``: a per-frame callable (ImagePose/ISLSignPos) — or, with
+    ``batch`` set, a FusedPosePipeline driven through
+    :func:`extract_video_batched`. Writes ``features-shard{i}.csv`` under
+    out_root; aggregate with :func:`islx.isl.dataset.build_table`.
     """
     import pandas as pd
 
@@ -158,7 +236,9 @@ def extract_dataset(cfg: ExtractConfig, pose, csv_path: str,
     for row in my_rows:
         path = getattr(row, path_col)
         meta = {c: getattr(row, c) for c in df.columns if c != path_col}
-        for r in extract_video(cfg, pose, path):
+        rows = (extract_video_batched(cfg, pose, path, batch=batch)
+                if batch else extract_video(cfg, pose, path))
+        for r in rows:
             r.update(meta)
             all_rows.append(r)
     out = os.path.join(cfg.out_root, f"features-shard{shard_index}.csv")

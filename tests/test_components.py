@@ -237,3 +237,38 @@ class TestAugment:
         c = _augment_frame(cfg, "vid", 4, frame)
         np.testing.assert_array_equal(a, b)       # idempotent reruns
         assert not np.array_equal(a, c)           # varies across frames
+
+
+class TestBatchedExtract:
+    def test_batched_extract_and_resume(self, tmp_path):
+        """extract_video_batched writes the same per-frame record contract
+        and skips already-processed frames on rerun (crash-resume)."""
+        import cv2
+        import jax.numpy as jnp
+
+        from islx.core.config import HandConfig, PoseConfig
+        from islx.isl.extract import ExtractConfig, extract_video_batched
+        from islx.models import cpm
+        from islx.pipeline.batch_pose import FusedPosePipeline
+
+        clip = str(tmp_path / "c.mp4")
+        w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 15,
+                            (96, 72))
+        rng = np.random.RandomState(0)
+        base = (rng.rand(72, 96, 3) * 255).astype(np.uint8)
+        for i in range(10):
+            w.write(np.roll(base, i * 5, axis=1))
+        w.release()
+
+        pipe = FusedPosePipeline(
+            cpm.init_params("body25"), cpm.init_params("hand"),
+            pose_cfg=PoseConfig(model_type="body25", max_peaks=8),
+            hand_cfg=HandConfig(scale_search=(0.25,)),
+            compute_dtype=jnp.float32)
+        cfg = ExtractConfig(out_root=str(tmp_path / "out"))
+        rows = extract_video_batched(cfg, pipe, clip, batch=4)
+        assert len(rows) == 10
+        assert os.path.exists(os.path.join(
+            cfg.out_root, "c.mp4", "000009.json"))
+        # rerun: everything already processed -> no rows
+        assert extract_video_batched(cfg, pipe, clip, batch=4) == []
