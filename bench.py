@@ -53,15 +53,19 @@ def _tpu_probe_once(probe_timeout_s: float) -> bool:
 
 
 def _tpu_alive() -> bool:
-    """Retry the probe for several minutes: relay cold start is 30-120s and a
-    stale claim from a previously killed process can add minutes more, so a
-    single 90s probe false-negatives on a healthy relay (round-1 bench fell
-    back to CPU exactly this way)."""
-    for timeout_s, sleep_s in ((120, 10), (150, 20), (180, 30), (240, 0)):
-        if _tpu_probe_once(timeout_s):
-            return True
-        time.sleep(sleep_s)
-    return False
+    """Probe, then if wedged: one long SILENCE window + one patient probe.
+
+    Relay cold start is 30-120s, so a single short probe false-negatives on
+    a healthy relay (round-1 bench fell back to CPU exactly this way). But
+    REPEATED timed-out probes are worse: each killed probe process refreshes
+    the relay's stale claim and keeps it wedged (measured: 6 short probes
+    over 20 min all failed; 40 min of silence then one patient probe
+    connected in ~80s — CLAUDE.md). So: one honest probe, one recovery
+    cycle, done."""
+    if _tpu_probe_once(150):
+        return True
+    time.sleep(300)                 # silence: let the stale claim expire
+    return _tpu_probe_once(480)
 
 
 def main():
