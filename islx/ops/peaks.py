@@ -70,8 +70,13 @@ def _first_k_masked(flat_mask: jax.Array, k: int,
     c, n = flat_mask.shape
     rank = jnp.cumsum(flat_mask.astype(jnp.int32), axis=-1)   # [C, N]
     q = jnp.arange(1, k + 1, dtype=jnp.int32)
-    # first position where rank reaches j (j = 1..k) == the j-th True index
-    idx = jax.vmap(lambda r: jnp.searchsorted(r, q, side="left"))(rank)
+    # first position where rank reaches j (j = 1..k) == the j-th True index.
+    # method="compare_all" lowers to a vectorized compare+reduce instead of
+    # the default binary-search scan, which on TPU becomes a sequential
+    # while loop (profiled at 7.4ms/step on the 64-frame fused program vs
+    # sub-ms for the fused compare+reduce); results are identical.
+    idx = jax.vmap(lambda r: jnp.searchsorted(r, q, side="left",
+                                              method="compare_all"))(rank)
     count = rank[:, -1]
     return jnp.where(q[None, :] <= count[:, None], idx.astype(jnp.int32), n)
 
