@@ -144,21 +144,28 @@ def find_hand_peaks_refine(heat_small: jax.Array, thre: float = 0.05,
     flat = jnp.where(mask, heat_small, -jnp.inf).transpose(2, 0, 1)
     coarse = jnp.argmax(flat.reshape(c, -1), axis=1).astype(jnp.int32)
     cy, cx = coarse // w8, coarse % w8
+    y0 = jnp.clip(cy - window // 2, 0, max(h8 - window, 0))      # [C]
+    x0 = jnp.clip(cx - window // 2, 0, max(w8 - window, 0))
 
     u_mat = jnp.asarray(_resize_matrix(window, window * up))  # exact phase
-
-    def refine(ch, y, x):
-        y0 = jnp.clip(y - window // 2, 0, max(h8 - window, 0))
-        x0 = jnp.clip(x - window // 2, 0, max(w8 - window, 0))
-        win = jax.lax.dynamic_slice(heat_small[:, :, ch], (y0, x0),
-                                    (window, window))
-        patch = u_mat @ win @ u_mat.T          # [window*up, window*up]
-        p = jnp.argmax(patch)
-        py = (p // (window * up)).astype(jnp.int32) + y0 * up
-        px = (p % (window * up)).astype(jnp.int32) + x0 * up
-        return px, py
-
-    px, py = jax.vmap(refine)(jnp.arange(c), cy, cx)
+    # window extraction as comparison-built one-hot matmuls instead of
+    # per-channel dynamic slices: nothing data-dependent for the TPU
+    # backend to unroll, so the op vmaps over whole crop batches without
+    # the lax.map chunking the sliced form needed (compile-time control),
+    # and the sequential refine while-loops disappear from the profile.
+    hi = jax.lax.Precision.HIGHEST
+    off = jnp.arange(window, dtype=jnp.int32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (c, window, h8), 2)
+    sy = (iy == (y0[:, None, None] + off[None, :, None])).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (c, window, w8), 2)
+    sx = (ix == (x0[:, None, None] + off[None, :, None])).astype(jnp.float32)
+    hm = heat_small.transpose(2, 0, 1).astype(jnp.float32)       # [C,h8,w8]
+    win = jnp.einsum("cih,chw,cjw->cij", sy, hm, sx, precision=hi)
+    patch = jnp.einsum("pi,cij,qj->cpq", u_mat, win, u_mat,
+                       precision=hi)           # [C, window*up, window*up]
+    p = jnp.argmax(patch.reshape(c, -1), axis=1)
+    py = (p // (window * up)).astype(jnp.int32) + y0 * up
+    px = (p % (window * up)).astype(jnp.int32) + x0 * up
     xy = jnp.where(found[:, None], jnp.stack([px, py], -1),
                    jnp.zeros((c, 2), jnp.int32))
     return HandPeaks(xy=xy, found=found)

@@ -343,7 +343,7 @@ class BatchedHandPipeline:
 
     def __init__(self, params: cpm.Params, cfg: Optional[HandConfig] = None,
                  crop_size: int = 368, compute_dtype=jnp.bfloat16, mesh=None,
-                 peak_mode: str = "cc", crop_chunk: Optional[int] = 16):
+                 peak_mode: str = "cc", crop_chunk: Optional[int] = None):
         self.params = cpm.cast_params(params, compute_dtype)  # see body pipe
         self.cfg = cfg or HandConfig()
         self.crop_size = crop_size
@@ -354,8 +354,11 @@ class BatchedHandPipeline:
         # global argmax (identical whenever the max lies in the best blob).
         # The single-scale production branch always uses coarse-to-fine argmax.
         self.peak_mode = peak_mode
-        # lax.map chunk for the fused crop-extraction/refine stages (the CPM
-        # forward itself stays fully batched); see _chunked_vmap.
+        # optional lax.map chunk for the refine stage (see _chunked_vmap).
+        # Since the refine became slice-free batched matmuls
+        # (ops.hand_peaks.find_hand_peaks_refine) the flat vmap compiles
+        # fast and runs identically — None (no chunking) is the default;
+        # the knob remains as compile-time control for exotic shapes.
         self.crop_chunk = crop_chunk
         self._programs = {}
 
@@ -530,7 +533,7 @@ class FusedPosePipeline:
                  hand_cfg: Optional[HandConfig] = None,
                  det_cfg=None,
                  compute_dtype=jnp.bfloat16, top_m: int = 48,
-                 crop_chunk: Optional[int] = 16, mesh=None):
+                 crop_chunk: Optional[int] = None, mesh=None):
         from islx.core.config import DetectorConfig
 
         self.body = BatchedBodyPipeline(
