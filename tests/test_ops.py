@@ -208,6 +208,30 @@ class TestHandPeaks:
             want = _oracle_hand_peak(hm[:, :, ch], 0.05)
             assert (int(got.xy[ch, 0]), int(got.xy[ch, 1])) == want, f"ch {ch}"
 
+
+    def test_refine_matches_full_upsample(self, rng):
+        """Coarse-to-fine refine == argmax of the FULL x8 cubic upsample on
+        blob-shaped heatmaps (the op's exactness contract; the blobby shape
+        guarantees the true peak lies inside the refine window)."""
+        from islx.ops.hand_peaks import find_hand_peaks_refine
+        from islx.ops.resize import resize_cubic
+
+        h8 = w8 = 23
+        c = 21
+        hm = np.zeros((h8, w8, c), np.float32)
+        yy, xx = np.mgrid[0:h8, 0:w8]
+        for ch in range(c):
+            cy, cx = rng.randint(2, h8 - 2, 2)
+            hm[:, :, ch] = rng.uniform(0.4, 1.2) * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.7 ** 2))
+        got = find_hand_peaks_refine(jnp.asarray(hm), 0.05)
+        big = np.asarray(resize_cubic(jnp.asarray(hm), h8 * 8, w8 * 8))
+        for ch in range(c):
+            p = int(np.argmax(big[:, :, ch].reshape(-1)))
+            wy, wx = p // (w8 * 8), p % (w8 * 8)
+            assert bool(got.found[ch])
+            assert (int(got.xy[ch, 0]), int(got.xy[ch, 1])) == (wx, wy), ch
+
     def test_two_blob_tiebreak(self):
         """Larger-sum component wins even if the other has the taller peak."""
         h = w = 50
