@@ -161,3 +161,29 @@ class TestFusedPosePipeline:
         body_packed = np.asarray(fused.body.device_step(frames, 0.05))
         np.testing.assert_allclose(body_view, body_packed, atol=1e-4)
         assert boxes.shape == (b * 2, 4)
+
+    def test_fused_coco_model(self):
+        """The fused program serves the COCO-18 family too (arm chains use
+        the same joint channels 2-7; limb rows resolved per table)."""
+        from islx.core.config import HandConfig, PoseConfig
+        from islx.models import cpm
+        from islx.ops.hand_boxes import arm_limb_rows
+        from islx.ops.paf import LIMB_SEQ_COCO
+        from islx.pipeline.batch_pose import FusedPosePipeline
+
+        import jax.numpy as jnp
+
+        (se_l, ew_l), (se_r, ew_r) = arm_limb_rows(LIMB_SEQ_COCO)
+        assert tuple(LIMB_SEQ_COCO[ew_r]) == (3, 4)
+        assert tuple(LIMB_SEQ_COCO[se_l]) == (5, 6)
+
+        rng = np.random.RandomState(5)
+        frames = (rng.rand(1, 48, 48, 3) * 255).astype(np.uint8)
+        fused = FusedPosePipeline(
+            cpm.init_params("coco"), cpm.init_params("hand"),
+            model_type="coco",
+            pose_cfg=PoseConfig(model_type="coco", max_peaks=8),
+            hand_cfg=HandConfig(scale_search=(0.25,)),
+            compute_dtype=jnp.float32)
+        results, boxes, peaks = fused.assemble(fused.device_step(frames), 1)
+        assert len(results) == 1 and boxes.shape == (2, 4)
