@@ -95,3 +95,21 @@ def test_quantized_pipeline_runs(rng):
         compute_dtype=jnp.float32)
     results, boxes, peaks = pipe.assemble(pipe.device_step(frames), 1)
     assert len(results) == 1 and boxes.shape == (2, 4)
+
+
+def test_quantized_params_checkpoint_roundtrip(rng, tmp_path):
+    """int8 quantized params survive the checkpoint layer bit-for-bit
+    (deployment artifact: calibrate once, ship the quantized pytree)."""
+    from islx.core import checkpoint as C
+
+    p = cpm.init_params("hand")
+    qp = quant.quantize_model(p, "hand",
+                              [np.zeros((1, 48, 48, 3), np.float32)])
+    path = str(tmp_path / "q")
+    C.save_pytree(path, qp)
+    back = C.load_pytree(path, like=qp)
+    for name, entry in qp.items():
+        for k, v in entry.items():
+            got = np.asarray(back[name][k])
+            assert got.dtype == np.asarray(v).dtype, (name, k)
+            np.testing.assert_array_equal(got, np.asarray(v))
