@@ -84,7 +84,14 @@ def from_flat_dict(flat: Mapping[str, np.ndarray], model_type: str,
 
 
 def load(path: str, model_type: str, dtype=jnp.float32) -> Params:
-    """Load weights from .pt/.pth (torch), .npz (islx), or .caffemodel."""
+    """Load weights from .pt/.pth (torch), .npz (islx), .caffemodel, or an
+    islx pytree checkpoint directory (e.g. an int8-quantized pytree from
+    ``python -m islx.cli.quantize`` — loaded as-is, every pipeline accepts
+    quantized params transparently via cpm._conv's w_q dispatch)."""
+    from islx.core import checkpoint as C
+
+    if os.path.isdir(path) or os.path.exists(path + ".pkl"):
+        return C.load_pytree(path)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npz":
         return load_npz(path, model_type, dtype)

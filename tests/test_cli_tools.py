@@ -80,3 +80,32 @@ def test_demo_video_batched_hands(clip, tmp_path):
     out = str(tmp_path / "v.mp4")
     demo_video.main([clip, "--out", out, "--batch", "4"])
     assert os.path.getsize(out) > 0
+
+
+def test_quantize_cli_roundtrip(clip, tmp_path):
+    """quantize CLI: float npz -> calibrated int8 pytree; W.load accepts the
+    resulting directory transparently and the fused pipeline runs it."""
+    import jax.numpy as jnp
+
+    from islx.cli import quantize
+    from islx.core import weights as W
+    from islx.core.config import HandConfig, PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import FusedPosePipeline
+
+    npz = str(tmp_path / "hand.npz")
+    W.save_npz(npz, cpm.init_params("hand"))
+    out = str(tmp_path / "hand-int8")
+    quantize.main([npz, out, "--model-type", "hand", "--calib", clip,
+                   "--frames", "2"])
+    qp = W.load(out, "hand")
+    assert any("w_q" in e for e in qp.values())
+    pipe = FusedPosePipeline(
+        cpm.init_params("body25"), qp,
+        pose_cfg=PoseConfig(model_type="body25", max_peaks=8),
+        hand_cfg=HandConfig(scale_search=(0.25,)),
+        compute_dtype=jnp.float32)
+    frames = (np.random.RandomState(0).rand(1, 48, 48, 3) * 255
+              ).astype(np.uint8)
+    results, boxes, peaks = pipe.assemble(pipe.device_step(frames), 1)
+    assert len(results) == 1
