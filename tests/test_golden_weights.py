@@ -113,3 +113,35 @@ def test_full_demo_pipeline_golden():
         ref_peaks = np.asarray(ref_hand(crop), np.float64)
         d = np.sqrt(((peaks - ref_peaks) ** 2).sum(-1))
         assert float(d.mean()) < 1.0
+
+
+@requires_weights
+@pytest.mark.skipif(BODY25 is None, reason="body25 checkpoint not found")
+def test_int8_quantized_accuracy_golden():
+    """Int8 (W8A8) trunk accuracy on real weights: quantized body25
+    keypoints within 2px mean L2 of the float pipeline on demo.jpg. This is
+    the gate for making the int8 path (islx/models/quant.py, +27% e2e
+    measured) the production default."""
+    import cv2
+    import jax.numpy as jnp
+
+    from islx.core import weights as W
+    from islx.models import quant
+    from islx.pipeline.batch_pose import BatchedBodyPipeline, bucket_for
+
+    ori = cv2.imread(DEMO)
+    h0, w0 = ori.shape[:2]
+    hb, wb = bucket_for(h0, w0)
+    frame = cv2.resize(ori, (wb, hb), interpolation=cv2.INTER_CUBIC)
+    params = W.load(BODY25, "body25")
+    xcal = frame[None].astype(np.float32) / 256.0 - 0.5
+    qparams = quant.quantize_model(params, "body25", [xcal])
+
+    f_pipe = BatchedBodyPipeline(params, "body25",
+                                 compute_dtype=jnp.bfloat16)
+    q_pipe = BatchedBodyPipeline(qparams, "body25",
+                                 compute_dtype=jnp.bfloat16)
+    (cand_f, _), = f_pipe.assemble(f_pipe.device_step(frame[None]), 1)
+    (cand_q, _), = q_pipe.assemble(q_pipe.device_step(frame[None]), 1)
+    assert len(cand_f) > 0
+    assert _mean_keypoint_l2(cand_q, cand_f) < 2.0
