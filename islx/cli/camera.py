@@ -77,6 +77,10 @@ def main(argv=None):
     p.add_argument("--model-type", default="body25",
                    choices=["body25", "coco"])
     p.add_argument("--no-window", action="store_true")
+    p.add_argument("--multi-person", action="store_true",
+                   help="host hand-box detection from grouped skeletons "
+                        "(up to 4 hands; default: fused single-program "
+                        "path, one crop per arm side — PARITY.md #6)")
     args = p.parse_args(argv)
 
     body_params = (W.load(args.body_weights, args.model_type)
@@ -85,7 +89,8 @@ def main(argv=None):
                    if args.hand_weights else cpm.init_params("hand"))
     # fused: one device program (one upload + one fetch) per frame — halves
     # the per-frame transfer round trips on tunneled TPU runtimes
-    pose = ImagePose(body_params, hand_params, args.model_type, fused=True)
+    pose = ImagePose(body_params, hand_params, args.model_type,
+                     fused=not args.multi_person)
 
     cap = open_capture(args.source, args.width, args.height)
     if not cap.isOpened():

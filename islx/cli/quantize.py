@@ -31,14 +31,22 @@ def sample_calibration_inputs(clip: str, model_type: str,
     from islx.pipeline.batch_pose import bucket_for
     from islx.pipeline.video import FrameSource
 
-    frames = []
+    # bounded-memory stride sampling: keep at most 2*n_frames decoded
+    # frames; when full, halve the kept set and double the stride (a long
+    # clip never lives in memory all at once)
+    picked: list = []
+    stride = 1
     with FrameSource(clip) as src:
-        for f in src:
-            frames.append(f)
-    if not frames:
+        for i, f in enumerate(src):
+            if i % stride == 0:
+                picked.append(f)
+                if len(picked) > 2 * n_frames:
+                    picked = picked[::2]
+                    stride *= 2
+    if not picked:
         raise SystemExit(f"no frames decoded from {clip}")
-    step = max(len(frames) // n_frames, 1)
-    picked = frames[::step][:n_frames]
+    step = max(len(picked) // n_frames, 1)
+    picked = picked[::step][:n_frames]
     h0, w0 = picked[0].shape[:2]
     if model_type == "hand":
         size = 368

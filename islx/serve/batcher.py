@@ -35,6 +35,9 @@ class PoseResult:
 class MicroBatcher:
     """Submit frames, get back futures resolving to PoseResult."""
 
+    _CALIB_KEEP = 32      # calibration sample cap (frames kept in memory)
+    _CALIB_CHUNK = 8      # frames per eager calibration forward (HBM bound)
+
     def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 15.0,
                  target_h: int = 184,
                  quantize_after: Optional[int] = None):
@@ -49,7 +52,12 @@ class MicroBatcher:
         # in W8A8 trunks (islx.models.quant) — the production pattern for a
         # deployment with no offline calibration set. None = stay float.
         self.quantize_after = quantize_after
+        # bounded calibration sample: activation scales need a SAMPLE of the
+        # traffic, not all of it — keep at most _CALIB_KEEP frames and count
+        # served frames separately (so --int8-after 512 doesn't build a
+        # 512-frame eager calibration batch and OOM the chip)
         self._calib_frames: list = []
+        self._calib_seen = 0
         self._bucket_for = bucket_for
         self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "frames_padded": 0,
@@ -81,6 +89,15 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5.0)
+        # fail any request the worker never picked up — a submit() racing
+        # shutdown must not leave its caller blocked forever
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("MicroBatcher closed"))
 
     # ------------------------------------------------------------------
 
@@ -125,6 +142,10 @@ class MicroBatcher:
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(exc)
+        # shutdown: fail spilled requests the loop never served
+        for _, fut in pending:
+            if not fut.done():
+                fut.set_exception(RuntimeError("MicroBatcher closed"))
 
     def _process(self, batch, hw0) -> None:
         import cv2
@@ -139,13 +160,16 @@ class MicroBatcher:
             frames[i] = frames[0]
         if (self.quantize_after is not None
                 and not self._stats["quantized"]):
+            self._calib_seen += len(batch)
             # calibration frames must share one shape (np.stack); under
             # mixed-resolution traffic, collect only the first-seen shape
             if (not self._calib_frames
                     or self._calib_frames[0].shape == frames[0].shape):
+                room = self._CALIB_KEEP - len(self._calib_frames)
                 self._calib_frames.extend(frames[i]
-                                          for i in range(len(batch)))
-            if len(self._calib_frames) >= self.quantize_after:
+                                          for i in range(min(len(batch),
+                                                             max(room, 0))))
+            if self._calib_seen >= self.quantize_after:
                 try:
                     self._swap_in_quantized()
                 except Exception:
@@ -186,10 +210,16 @@ class MicroBatcher:
         hcal = np.stack([
             cv2.resize(f, (size, size), interpolation=cv2.INTER_CUBIC)
             for f in self._calib_frames]).astype(np.float32) / 256.0 - 0.5
+        # chunked eager forwards: a single big batch at the hand net's
+        # full-resolution activations would blow HBM
+        xb = [xcal[i:i + self._CALIB_CHUNK]
+              for i in range(0, len(xcal), self._CALIB_CHUNK)]
+        hb_ = [hcal[i:i + self._CALIB_CHUNK]
+               for i in range(0, len(hcal), self._CALIB_CHUNK)]
         cd = old.body.compute_dtype
-        bq = quant.quantize_model(old.body.params, old.model_type, [xcal],
+        bq = quant.quantize_model(old.body.params, old.model_type, xb,
                                   compute_dtype=cd)
-        hq = quant.quantize_model(old.hand.params, "hand", [hcal],
+        hq = quant.quantize_model(old.hand.params, "hand", hb_,
                                   compute_dtype=cd)
         self.pipe = FusedPosePipeline(
             bq, hq, old.model_type, old.body.cfg, old.hand.cfg,

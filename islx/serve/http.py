@@ -70,13 +70,21 @@ class PoseServer:
                     return
                 import cv2
 
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    self._reply(400, b'{"error": "bad Content-Length"}')
+                    return
                 if n <= 0 or n > 32 * 1024 * 1024:
                     # drain in bounded chunks (constant memory) so the
-                    # client can read the error instead of a reset
+                    # client can read the error instead of a reset; an
+                    # empty read = disconnected client, stop immediately
                     left = n
                     while left > 0:
-                        left -= len(self.rfile.read(min(left, 1 << 20)) or b"x")
+                        chunk = self.rfile.read(min(left, 1 << 20))
+                        if not chunk:
+                            break
+                        left -= len(chunk)
                     self._reply(413, b'{"error": "body must be 1B-32MB"}')
                     return
                 data = self.rfile.read(n)

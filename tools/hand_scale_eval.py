@@ -95,6 +95,12 @@ def main(argv=None):
             if both.any():
                 l2.extend(np.linalg.norm(ref[both] - got[both], axis=-1))
         l2 = np.asarray(l2)
+        if l2.size == 0:
+            # the decisive negative result: the fast config found nothing
+            # the reference found — report it, don't crash on empty arrays
+            print(f"{k}: NO matched keypoints vs ref_4scale "
+                  f"(config unusable at this scale)")
+            continue
         print(f"{k}: mean L2 {l2.mean():.2f}px  p95 {np.percentile(l2, 95):.2f}px"
               f"  max {l2.max():.2f}px  ({len(l2)} matched keypoints)")
     return 0
