@@ -47,6 +47,30 @@ class HandConfig:
     thre: float = 0.05
     n_parts: int = 21
 
+    # Production fused-pipeline default: single pyramid scale 0.5 -> the hand
+    # CPM runs on 184px crops instead of 368px (4x fewer FLOPs). The scale is
+    # one the reference's own pyramid contains (src/hand.py:25 scale_search
+    # starts at 0.5), and in the bucketed production pipeline the crop source
+    # carries at most ~bucket-height (184px) of real content, so 368 was pure
+    # upsample FLOPs. Whether trained-at-368 weights degrade at 184 is a
+    # checkpoint-gated question (tools/hand_scale_eval.py answers it the
+    # moment weights exist — PARITY.md #7); until then 184 is the default and
+    # ISLX_HAND_SCALE=1.0 restores the 368 path.
+    PRODUCTION_SCALE = 0.5
+
+    @classmethod
+    def production(cls, scale: float | None = None) -> "HandConfig":
+        """Single-scale config for the fused production pipelines.
+
+        Priority: explicit ``scale`` arg > ``ISLX_HAND_SCALE`` env >
+        ``PRODUCTION_SCALE`` (0.5 -> 184px crops)."""
+        import os
+
+        if scale is None:
+            scale = float(os.environ.get("ISLX_HAND_SCALE",
+                                         cls.PRODUCTION_SCALE))
+        return cls(scale_search=(scale,))
+
 
 @dataclasses.dataclass(frozen=True)
 class DetectorConfig:

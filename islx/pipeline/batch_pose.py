@@ -541,7 +541,7 @@ class FusedPosePipeline:
             pose_cfg or PoseConfig(model_type=model_type, max_peaks=16),
             compute_dtype=compute_dtype, top_m=top_m)
         self.hand = BatchedHandPipeline(
-            hand_params, hand_cfg or HandConfig(scale_search=(1.0,)),
+            hand_params, hand_cfg or HandConfig.production(),
             compute_dtype=compute_dtype, crop_chunk=crop_chunk)
         self.det_cfg = det_cfg or DetectorConfig()
         self.model_type = model_type

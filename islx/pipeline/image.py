@@ -48,7 +48,7 @@ class ImagePose:
         if fused:
             self.pipe = FusedPosePipeline(body_params, hand_params,
                                           model_type, pose_cfg,
-                                          HandConfig(scale_search=(1.0,)),
+                                          HandConfig.production(),
                                           compute_dtype=compute_dtype)
             self.max_hands = FusedPosePipeline.MAX_HANDS
         else:
@@ -56,7 +56,7 @@ class ImagePose:
             self.body = BatchedBodyPipeline(body_params, model_type, pose_cfg,
                                             compute_dtype=compute_dtype)
             self.hand = BatchedHandPipeline(hand_params,
-                                            HandConfig(scale_search=(1.0,)),
+                                            HandConfig.production(),
                                             compute_dtype=compute_dtype)
 
     def __call__(self, img: np.ndarray

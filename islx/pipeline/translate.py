@@ -51,7 +51,7 @@ class BatchedTranslatePipeline:
             else cpm.init_params("hand"),
             model_type,
             pose_cfg or PoseConfig(model_type=model_type, max_peaks=16),
-            hand_cfg or HandConfig(scale_search=(1.0,)),
+            hand_cfg or HandConfig.production(),
             compute_dtype=compute_dtype)
         # one hand crop per arm side — the ISL 156-dim feature contract
         # (body 78 + left hand 39 + right hand 39, islx.isl.features)

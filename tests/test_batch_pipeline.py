@@ -327,3 +327,26 @@ def test_batched_body_multiscale_matches_parity(rng, ref_compat):
                                       subset_ref[:, :-2] >= 0)
         np.testing.assert_allclose(subset[:, -2:], subset_ref[:, -2:],
                                    atol=1e-3)
+
+
+def test_production_hand_config(monkeypatch):
+    """HandConfig.production(): 184px default (PARITY.md #7), env override,
+    explicit-arg priority; FusedPosePipeline picks it up as its default."""
+    from islx.core.config import HandConfig
+
+    monkeypatch.delenv("ISLX_HAND_SCALE", raising=False)
+    cfg = HandConfig.production()
+    assert cfg.scale_search == (0.5,)
+    assert int(np.rint(cfg.scale_search[0] * cfg.boxsize)) == 184
+
+    monkeypatch.setenv("ISLX_HAND_SCALE", "1.0")
+    assert HandConfig.production().scale_search == (1.0,)
+    assert HandConfig.production(0.25).scale_search == (0.25,)  # arg wins
+
+    monkeypatch.delenv("ISLX_HAND_SCALE", raising=False)
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import FusedPosePipeline
+
+    pipe = FusedPosePipeline(cpm.init_params("body25"),
+                             cpm.init_params("hand"))
+    assert pipe.hand.cfg.scale_search == (0.5,)
