@@ -129,60 +129,126 @@ def select_connections_sorted(pair: np.ndarray, score: np.ndarray,
     return connection_all, special_k
 
 
+class _People:
+    """Growing person table with an (slot, part-id) -> row index so each
+    connection resolves its owning rows by TWO dict lookups instead of the
+    reference's linear table scan (semantics per src/body.py:182-231; the
+    native kernel in native/grouping.cpp is the third, C++ formulation).
+
+    Rows are dense float vectors [njoint+1]: slots 0..njoint-2 hold global
+    part ids (-1 empty), [-2] accumulated score, [-1] part count. Row order
+    (== reference scan order) is the insertion order of the ``rows`` list;
+    merges keep the earlier row and drop the later one.
+    """
+
+    def __init__(self, njoint: int):
+        self.njoint = njoint
+        self.rows: List[np.ndarray] = []
+        self._owner: dict = {}   # (slot, int(gid)) -> row object
+
+    def find(self, slot_a: int, gid_a: float, slot_b: int, gid_b: float):
+        """Rows owning (slot_a, gid_a) / (slot_b, gid_b), in table order."""
+        ra = self._owner.get((slot_a, int(gid_a)))
+        rb = self._owner.get((slot_b, int(gid_b)))
+        if ra is None:
+            return [rb] if rb is not None else []
+        if rb is None or rb is ra:
+            return [ra]
+        pa, pb = self._pos(ra), self._pos(rb)
+        return [ra, rb] if pa < pb else [rb, ra]
+
+    def _pos(self, row) -> int:
+        for i, r in enumerate(self.rows):
+            if r is row:
+                return i
+        raise KeyError("row not in table")
+
+    def claim(self, row, slot: int, gid: float) -> None:
+        old = row[slot]
+        if old >= 0:
+            self._owner.pop((slot, int(old)), None)
+        row[slot] = gid
+        self._owner[(slot, int(gid))] = row
+
+    def add_part(self, row, slot: int, gid: float, part_score: float,
+                 conn_score: float, force: bool = False) -> None:
+        """Attach part ``gid`` at ``slot`` (src/body.py:197-201 semantics:
+        count +1 and score += even when overwriting a different id).
+
+        force=True reproduces the two-owner overlap branch
+        (src/body.py:214-218), which increments count/score UNCONDITIONALLY
+        — even when the row already holds exactly this id."""
+        if row[slot] == gid and not force:
+            return
+        self.claim(row, slot, gid)
+        row[-1] += 1
+        row[-2] += part_score + conn_score
+
+    def new_row(self, slot_a: int, gid_a: float, slot_b: int, gid_b: float,
+                score: float) -> None:
+        row = -1.0 * np.ones(self.njoint + 1)
+        row[-1] = 2
+        row[-2] = score
+        self.rows.append(row)
+        self.claim(row, slot_a, gid_a)
+        self.claim(row, slot_b, gid_b)
+
+    def disjoint(self, r1, r2) -> bool:
+        return not np.any((r1[:-2] >= 0) & (r2[:-2] >= 0))
+
+    def merge(self, r1, r2, conn_score: float) -> None:
+        """Fold r2's parts into r1 and drop r2 (src/body.py:208-213)."""
+        take = r2[:-2] >= 0
+        r1[:-2] = np.where(take, r2[:-2], r1[:-2])
+        for slot in np.nonzero(take)[0]:
+            self._owner[(int(slot), int(r2[slot]))] = r1
+        r1[-2:] += r2[-2:]
+        r1[-2] += conn_score
+        self.rows.remove(r2)
+
+    def table(self) -> np.ndarray:
+        """Prune weak rows (src/body.py:227-231) and stack."""
+        keep = [r for r in self.rows
+                if r[-1] >= 4 and r[-2] / r[-1] >= 0.4]
+        return (np.stack(keep) if keep
+                else -1 * np.ones((0, self.njoint + 1)))
+
+
 def group_people(candidate: np.ndarray, connection_all: List[np.ndarray],
                  special_k: List[int], limb_seq: np.ndarray, njoint: int
                  ) -> np.ndarray:
-    """Merge limb connections into person rows (semantics: src/body.py:182-231)."""
-    subset = -1 * np.ones((0, njoint + 1))
+    """Merge limb connections into person rows (semantics: src/body.py:182-231).
+
+    Each connection (gid_a, gid_b, score) resolves the rows already owning
+    either endpoint via the part-ownership index (_People.find): none ->
+    start a person (except the final two limb types), one -> extend it with
+    the B part, two -> merge disjoint people or extend the earlier row.
+    """
+    people = _People(njoint)
     for k in range(limb_seq.shape[0]):
         if k in special_k:
             continue
-        part_as = connection_all[k][:, 0]
-        part_bs = connection_all[k][:, 1]
-        index_a, index_b = int(limb_seq[k, 0]), int(limb_seq[k, 1])
-
-        for i in range(len(connection_all[k])):
-            found = 0
-            subset_idx = [-1, -1]
-            for j in range(len(subset)):
-                if subset[j][index_a] == part_as[i] or subset[j][index_b] == part_bs[i]:
-                    subset_idx[found] = j
-                    found += 1
-
-            if found == 1:
-                j = subset_idx[0]
-                if subset[j][index_b] != part_bs[i]:
-                    subset[j][index_b] = part_bs[i]
-                    subset[j][-1] += 1
-                    subset[j][-2] += (candidate[part_bs[i].astype(int), 2]
-                                      + connection_all[k][i][2])
-            elif found == 2:
-                j1, j2 = subset_idx
-                membership = ((subset[j1] >= 0).astype(int)
-                              + (subset[j2] >= 0).astype(int))[:-2]
-                if len(np.nonzero(membership == 2)[0]) == 0:  # disjoint: merge
-                    subset[j1][:-2] += subset[j2][:-2] + 1
-                    subset[j1][-2:] += subset[j2][-2:]
-                    subset[j1][-2] += connection_all[k][i][2]
-                    subset = np.delete(subset, j2, 0)
+        slot_a, slot_b = int(limb_seq[k, 0]), int(limb_seq[k, 1])
+        for conn in connection_all[k]:
+            gid_a, gid_b, cscore = conn[0], conn[1], float(conn[2])
+            owners = people.find(slot_a, gid_a, slot_b, gid_b)
+            if len(owners) == 2:
+                r1, r2 = owners
+                if people.disjoint(r1, r2):
+                    people.merge(r1, r2, cscore)
                 else:
-                    subset[j1][index_b] = part_bs[i]
-                    subset[j1][-1] += 1
-                    subset[j1][-2] += (candidate[part_bs[i].astype(int), 2]
-                                       + connection_all[k][i][2])
-            elif not found and k < njoint - 2:
-                row = -1 * np.ones(njoint + 1)
-                row[index_a] = part_as[i]
-                row[index_b] = part_bs[i]
-                row[-1] = 2
-                row[-2] = (sum(candidate[connection_all[k][i, :2].astype(int), 2])
-                           + connection_all[k][i][2])
-                subset = np.vstack([subset, row])
-
-    # prune weak rows (src/body.py:227-231)
-    delete_idx = [i for i in range(len(subset))
-                  if subset[i][-1] < 4 or subset[i][-2] / subset[i][-1] < 0.4]
-    return np.delete(subset, delete_idx, axis=0)
+                    people.add_part(r1, slot_b, gid_b,
+                                    float(candidate[int(gid_b), 2]), cscore,
+                                    force=True)
+            elif len(owners) == 1:
+                people.add_part(owners[0], slot_b, gid_b,
+                                float(candidate[int(gid_b), 2]), cscore)
+            elif k < njoint - 2:
+                part_scores = float(candidate[int(gid_a), 2]
+                                    + candidate[int(gid_b), 2])
+                people.new_row(slot_a, gid_a, slot_b, gid_b,
+                               part_scores + cscore)
+    return people.table()
 
 
 def assemble_sorted(peaks_xy: np.ndarray, peaks_score: np.ndarray,

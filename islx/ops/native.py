@@ -69,6 +69,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 
 def available() -> bool:
+    import os
+
+    if os.environ.get("ISLX_NO_NATIVE"):   # force the numpy fallback paths
+        return False
     return get_lib() is not None
 
 
