@@ -556,10 +556,11 @@ class FusedPosePipeline:
     # hands per frame is fixed by construction: one per arm side
     MAX_HANDS = 2
 
-    def _program(self, b: int, hb: int, wb: int, sy: float, sx: float):
+    def _program(self, b: int, hb: int, wb: int, sy: float, sx: float,
+                 fmt: str = "bgr"):
         from islx.ops.hand_boxes import device_hand_boxes
 
-        key = (b, hb, wb, float(sy), float(sx))
+        key = (b, hb, wb, float(sy), float(sx), fmt)
         if key not in self._programs:
             body_core = self.body._core_fn(hb, wb)
             hand_core = self.hand._crops_core_fn()
@@ -567,7 +568,15 @@ class FusedPosePipeline:
             det = self.det_cfg
 
             def program(bparams, hparams, frames_flat, thre1):
-                frames = frames_flat.reshape(b, hb, wb, 3)
+                if fmt == "yuv420":
+                    # 1.5 bytes/px upload; BT.601 conversion on device
+                    # (islx.ops.yuv) — a few VPU elementwise ops fused into
+                    # the same program as the CPM convs
+                    from islx.ops.yuv import yuv420_to_bgr
+
+                    frames = yuv420_to_bgr(frames_flat, b, hb, wb)
+                else:
+                    frames = frames_flat.reshape(b, hb, wb, 3)
                 pk, cc = body_core(bparams, frames, thre1)
                 boxes2 = jax.vmap(lambda xy, p, s, o: device_hand_boxes(
                     xy, p, s, o, limb_seq, sy, sx, hb, wb, det))(
@@ -599,12 +608,36 @@ class FusedPosePipeline:
     def upload_frames(self, frames: np.ndarray) -> jax.Array:
         return self.body.upload_frames(frames)
 
+    def drop_programs(self, hb: int, wb: int) -> None:
+        """Evict every compiled program for bucket (hb, wb) — serving keeps
+        per-resolution program caches bounded (islx.serve.MicroBatcher).
+
+        Key shapes: fused (b, hb, wb, sy, sx, fmt); body (b, hb, wb);
+        hand crop-programs are keyed by count (no bucket — kept) and
+        frames-programs by ('frames', b, hb, wb, n)."""
+        def bucket_of(key):
+            if not isinstance(key, tuple):
+                return None
+            if key and key[0] == "frames":
+                return key[2], key[3]
+            if len(key) >= 3:
+                return key[1], key[2]
+            return None
+
+        for cache in (self._programs, self.body._programs,
+                      self.hand._programs):
+            for key in [k for k in cache if bucket_of(k) == (hb, wb)]:
+                del cache[key]
+
     def device_step_flat(self, flat: jax.Array, b: int, hb: int, wb: int,
                          orig_hw: Tuple[int, int],
-                         thre1: Optional[float] = None) -> jax.Array:
+                         thre1: Optional[float] = None,
+                         input_format: str = "bgr") -> jax.Array:
+        """input_format: 'bgr' (flat u8 [b*hb*wb*3]) or 'yuv420' (flat u8
+        I420 planes, [b*hb*wb*3/2] — half the upload bytes)."""
         sy, sx = orig_hw[0] / hb, orig_hw[1] / wb
         t1 = jnp.float32(self.body.cfg.thre1 if thre1 is None else thre1)
-        return self._program(b, hb, wb, sy, sx)(
+        return self._program(b, hb, wb, sy, sx, input_format)(
             self.body.params, self.hand.params, flat, t1)
 
     def device_step(self, frames: np.ndarray,

@@ -40,13 +40,22 @@ class MicroBatcher:
 
     def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 15.0,
                  target_h: int = 184,
-                 quantize_after: Optional[int] = None):
+                 quantize_after: Optional[int] = None,
+                 max_resolutions: int = 8):
+        from collections import OrderedDict
+
         from islx.pipeline.batch_pose import bucket_for
 
         self.pipe = pipe
         self.max_batch = int(max_batch)
         self.max_wait = max_wait_ms / 1000.0
         self.target_h = target_h
+        # bounded per-resolution program cache: mixed-resolution traffic
+        # compiles one program per distinct bucket; beyond this many live
+        # buckets the least-recently-served one's programs are evicted
+        # (recompiled on demand if that resolution returns)
+        self.max_resolutions = int(max_resolutions)
+        self._res_lru: "OrderedDict[Tuple[int, int], None]" = OrderedDict()
         # live-traffic int8 calibration: after `quantize_after` served
         # frames, calibrate activation scales on the stored traffic and swap
         # in W8A8 trunks (islx.models.quant) — the production pattern for a
@@ -58,6 +67,12 @@ class MicroBatcher:
         # 512-frame eager calibration batch and OOM the chip)
         self._calib_frames: list = []
         self._calib_seen = 0
+        # background quantization swap: the quantize -> compile -> warm
+        # chain runs off-thread and the worker flips to the finished
+        # pipeline between batches, so no request pays the ~20s compile
+        self._quant_started = False
+        self._pending_pipe = None
+        self._pending_lock = threading.Lock()
         self._bucket_for = bucket_for
         self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
         self._stats = {"requests": 0, "batches": 0, "frames_padded": 0,
@@ -150,16 +165,24 @@ class MicroBatcher:
     def _process(self, batch, hw0) -> None:
         import cv2
 
+        # flip to a background-compiled quantized pipeline between batches
+        with self._pending_lock:
+            if self._pending_pipe is not None:
+                self.pipe = self._pending_pipe
+                self._pending_pipe = None
+                with self._stats_lock:
+                    self._stats["quantized"] = True
+
         h0, w0 = hw0
         hb, wb = self._bucket_for(h0, w0, target_h=self.target_h)
+        self._touch_resolution(hb, wb)
         frames = np.empty((self.max_batch, hb, wb, 3), np.uint8)
         for i, (frame, _) in enumerate(batch):
             frames[i] = cv2.resize(frame, (wb, hb),
                                    interpolation=cv2.INTER_CUBIC)
         for i in range(len(batch), self.max_batch):  # pad to program shape
             frames[i] = frames[0]
-        if (self.quantize_after is not None
-                and not self._stats["quantized"]):
+        if self.quantize_after is not None and not self._quant_started:
             self._calib_seen += len(batch)
             # calibration frames must share one shape (np.stack); under
             # mixed-resolution traffic, collect only the first-seen shape
@@ -170,12 +193,16 @@ class MicroBatcher:
                                           for i in range(min(len(batch),
                                                              max(room, 0))))
             if self._calib_seen >= self.quantize_after:
-                try:
-                    self._swap_in_quantized()
-                except Exception:
-                    # a failed swap must not poison serving: stay float
-                    self.quantize_after = None
-                    self._calib_frames.clear()
+                self._quant_started = True
+                calib = self._calib_frames
+                self._calib_frames = []
+                ch, cw = calib[0].shape[:2]
+                # original size whose bucket matches the calibration shape
+                # (sy/sx bake into the program key)
+                cal_hw0 = hw0 if (hb, wb) == (ch, cw) else (ch, cw)
+                threading.Thread(
+                    target=self._background_quantize,
+                    args=(calib, cal_hw0), daemon=True).start()
         packed = self.pipe.device_step(frames, (h0, w0))
         results, boxes, peaks = self.pipe.assemble(packed, self.max_batch)
         sy, sx = h0 / hb, w0 / wb
@@ -191,40 +218,59 @@ class MicroBatcher:
             self._stats["batches"] += 1
             self._stats["frames_padded"] += self.max_batch - len(batch)
 
-    def _swap_in_quantized(self) -> None:
-        """Calibrate on the stored live frames and swap in int8 trunks.
+    def _touch_resolution(self, hb: int, wb: int) -> None:
+        """LRU-track served buckets; evict the stalest bucket's compiled
+        programs once more than ``max_resolutions`` are live."""
+        self._res_lru[(hb, wb)] = None
+        self._res_lru.move_to_end((hb, wb))
+        while len(self._res_lru) > self.max_resolutions:
+            (ehb, ewb), _ = self._res_lru.popitem(last=False)
+            self.pipe.drop_programs(ehb, ewb)
+            with self._stats_lock:
+                self._stats["programs_evicted"] = (
+                    self._stats.get("programs_evicted", 0) + 1)
 
-        Runs on the worker thread (the only toucher of self.pipe). The
-        hand net calibrates on whole-frame resizes as crop proxies (same
-        pixel statistics). The next batch pays the new programs' compile.
-        """
+    def _background_quantize(self, calib_frames, cal_hw0) -> None:
+        """Calibrate on stored live frames, build the int8 pipeline, and
+        PRE-COMPILE + warm it before handing it to the worker — no request
+        ever waits on the swap's compile (the old float pipeline keeps
+        serving until the new one is hot). The hand net calibrates on
+        whole-frame resizes as crop proxies (same pixel statistics)."""
         import cv2
 
         from islx.models import quant
         from islx.pipeline.batch_pose import FusedPosePipeline
 
-        old = self.pipe
-        xcal = np.stack(self._calib_frames).astype(np.float32) / 256.0 - 0.5
-        size = int(np.rint(old.hand.cfg.scale_search[0]
-                           * old.hand.cfg.boxsize))
-        hcal = np.stack([
-            cv2.resize(f, (size, size), interpolation=cv2.INTER_CUBIC)
-            for f in self._calib_frames]).astype(np.float32) / 256.0 - 0.5
-        # chunked eager forwards: a single big batch at the hand net's
-        # full-resolution activations would blow HBM
-        xb = [xcal[i:i + self._CALIB_CHUNK]
-              for i in range(0, len(xcal), self._CALIB_CHUNK)]
-        hb_ = [hcal[i:i + self._CALIB_CHUNK]
-               for i in range(0, len(hcal), self._CALIB_CHUNK)]
-        cd = old.body.compute_dtype
-        bq = quant.quantize_model(old.body.params, old.model_type, xb,
-                                  compute_dtype=cd)
-        hq = quant.quantize_model(old.hand.params, "hand", hb_,
-                                  compute_dtype=cd)
-        self.pipe = FusedPosePipeline(
-            bq, hq, old.model_type, old.body.cfg, old.hand.cfg,
-            det_cfg=old.det_cfg, compute_dtype=cd, top_m=old.body.top_m,
-            crop_chunk=old.hand.crop_chunk)
-        self._calib_frames.clear()
-        with self._stats_lock:
-            self._stats["quantized"] = True
+        try:
+            old = self.pipe
+            xcal = np.stack(calib_frames).astype(np.float32) / 256.0 - 0.5
+            size = int(np.rint(old.hand.cfg.scale_search[0]
+                               * old.hand.cfg.boxsize))
+            hcal = np.stack([
+                cv2.resize(f, (size, size), interpolation=cv2.INTER_CUBIC)
+                for f in calib_frames]).astype(np.float32) / 256.0 - 0.5
+            # chunked eager forwards: a single big batch at the hand net's
+            # full-resolution activations would blow HBM
+            xb = [xcal[i:i + self._CALIB_CHUNK]
+                  for i in range(0, len(xcal), self._CALIB_CHUNK)]
+            hb_ = [hcal[i:i + self._CALIB_CHUNK]
+                   for i in range(0, len(hcal), self._CALIB_CHUNK)]
+            cd = old.body.compute_dtype
+            bq = quant.quantize_model(old.body.params, old.model_type, xb,
+                                      compute_dtype=cd)
+            hq = quant.quantize_model(old.hand.params, "hand", hb_,
+                                      compute_dtype=cd)
+            new_pipe = FusedPosePipeline(
+                bq, hq, old.model_type, old.body.cfg, old.hand.cfg,
+                det_cfg=old.det_cfg, compute_dtype=cd, top_m=old.body.top_m,
+                crop_chunk=old.hand.crop_chunk)
+            # compile + warm at the calibration resolution (one dummy step,
+            # fetched) so the worker's flip is instantaneous
+            ch, cw = calib_frames[0].shape[:2]
+            warm = np.zeros((self.max_batch, ch, cw, 3), np.uint8)
+            np.asarray(new_pipe.device_step(warm, cal_hw0))
+            with self._pending_lock:
+                self._pending_pipe = new_pipe
+        except Exception:
+            # a failed swap must not poison serving: stay float
+            self.quantize_after = None

@@ -108,8 +108,11 @@ def test_http_pose_endpoint(pipe):
 
 
 def test_live_traffic_int8_calibration(pipe):
-    """quantize_after: the batcher calibrates on served frames and swaps in
-    int8 trunks; later requests still resolve."""
+    """quantize_after: the batcher calibrates on served frames, compiles the
+    int8 pipeline in the BACKGROUND (the float pipeline keeps serving), and
+    flips between batches; requests resolve throughout."""
+    import time
+
     from islx.serve import MicroBatcher
 
     b = MicroBatcher(pipe, max_batch=2, max_wait_ms=50.0, target_h=48,
@@ -121,11 +124,38 @@ def test_live_traffic_int8_calibration(pipe):
         first = [b.submit(f) for f in frames[:2]]
         for f in first:
             assert f.result(timeout=600).candidate.shape[1] == 4
-        later = [b.submit(f) for f in frames[2:]]
-        for f in later:
-            assert f.result(timeout=600).candidate.shape[1] == 4
-        assert b.stats()["quantized"] is True
+        # the swap is async: keep serving until the worker flips to the
+        # background-compiled pipeline (no request ever paid its compile)
+        deadline = time.time() + 600
+        while not b.stats()["quantized"]:
+            assert time.time() < deadline, "quantized swap never landed"
+            fut = b.submit(frames[2])
+            assert fut.result(timeout=600).candidate.shape[1] == 4
+            time.sleep(0.2)
+        fut = b.submit(frames[3])     # served by the int8 pipeline
+        assert fut.result(timeout=600).candidate.shape[1] == 4
         assert any("w_q" in e for e in b.pipe.body.params.values())
+    finally:
+        b.close()
+
+
+def test_program_cache_eviction(pipe):
+    """max_resolutions bounds the per-resolution compiled-program caches
+    under mixed traffic; evicted resolutions still serve (recompile)."""
+    from islx.serve import MicroBatcher
+
+    b = MicroBatcher(pipe, max_batch=2, max_wait_ms=10.0, target_h=48,
+                     max_resolutions=2)
+    try:
+        rng = np.random.RandomState(5)
+        shapes = [(96, 96), (64, 96), (80, 96), (96, 96)]
+        for h, w in shapes:
+            f = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            assert b.submit(f).result(timeout=600).subset is not None
+        assert len(b._res_lru) <= 2
+        assert b.stats().get("programs_evicted", 0) >= 1
+        # fused program cache matches the LRU bound
+        assert len(b.pipe._programs) <= 2
     finally:
         b.close()
 
