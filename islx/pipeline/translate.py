@@ -104,6 +104,31 @@ class BatchedTranslatePipeline:
 
     # ------------------------------------------------------------------
 
+    def _make_emitter(self, out: List[Tuple[int, int, str, float]]):
+        """Rolling-window feature consumer: feats -> head -> predictions
+        appended to ``out``. Shared by the BGR and YUV streaming paths."""
+        state = {"idx0": 0}
+
+        def emit(feats):
+            windows = []
+            widx = []
+            for i, f in enumerate(feats):
+                self._window.append(f)
+                if len(self._window) > self.cfg.window_size:
+                    self._window.pop(0)
+                if len(self._window) == self.cfg.window_size:
+                    windows.append(np.stack(self._window))
+                    widx.append(state["idx0"] + i)
+            if windows:
+                x = jnp.asarray(np.stack(windows), jnp.float32)
+                probs = np.asarray(self._head(self.head_params, x))
+                for w, pr in zip(widx, probs):
+                    cid = int(np.argmax(pr))
+                    out.append((w, cid, EXPRESSIONS[cid], float(pr[cid])))
+            state["idx0"] += len(feats)
+
+        return emit
+
     def translate_frames(self, frames: Iterable[np.ndarray],
                          orig_hw: Optional[Tuple[int, int]] = None
                          ) -> List[Tuple[int, int, str, float]]:
@@ -113,28 +138,9 @@ class BatchedTranslatePipeline:
 
         self.reset()
         out: List[Tuple[int, int, str, float]] = []
-        idx0 = 0
         hw = None
         pending = None  # (handles, n_valid) — batch dispatched, not consumed
-
-        def emit(feats):
-            nonlocal idx0
-            windows = []
-            widx = []
-            for i, f in enumerate(feats):
-                self._window.append(f)
-                if len(self._window) > self.cfg.window_size:
-                    self._window.pop(0)
-                if len(self._window) == self.cfg.window_size:
-                    windows.append(np.stack(self._window))
-                    widx.append(idx0 + i)
-            if windows:
-                x = jnp.asarray(np.stack(windows), jnp.float32)
-                probs = np.asarray(self._head(self.head_params, x))
-                for w, pr in zip(widx, probs):
-                    cid = int(np.argmax(pr))
-                    out.append((w, cid, EXPRESSIONS[cid], float(pr[cid])))
-            idx0 += len(feats)
+        emit = self._make_emitter(out)
 
         def flush(batch, n_valid):
             # double buffering: dispatch this batch's device work, then
@@ -175,8 +181,63 @@ class BatchedTranslatePipeline:
             emit(self.finish_batch(h_prev, hw)[:n_prev])
         return out
 
-    def translate_video(self, path: str) -> List[Tuple[int, int, str, float]]:
+    def translate_video(self, path: str, yuv: Optional[bool] = None
+                        ) -> List[Tuple[int, int, str, float]]:
+        """yuv: decode straight to bucketed I420 in ffmpeg and convert on
+        device (1.5 bytes/px uploads, islx.ops.yuv). None = auto (use it
+        when ffmpeg exists); the BGR path is the fallback. Production
+        divergence: ffmpeg's swscale bucketing vs cv2 INTER_CUBIC and 4:2:0
+        chroma — <=1px peak movement (PARITY.md #8)."""
+        import shutil
+
         from islx.pipeline.video import FrameSource
 
+        if yuv is None:
+            yuv = shutil.which("ffmpeg") is not None
+        if yuv:
+            return self._translate_video_yuv(path)
         with FrameSource(path) as src:
             return self.translate_frames(src)
+
+    def _translate_video_yuv(self, path: str
+                             ) -> List[Tuple[int, int, str, float]]:
+        from islx.pipeline.video import YUVFrameSource, probe
+
+        meta = probe(path)
+        hw = (meta.height, meta.width)
+        hb, wb = bucket_for(hw[0], hw[1], target_h=184)
+        with YUVFrameSource(path, (hb, wb)) as src:
+            return self.translate_yuv_frames(src, hw, (hb, wb))
+
+    def translate_yuv_frames(self, flat_frames: Iterable[np.ndarray],
+                             orig_hw: Tuple[int, int],
+                             bucket_hw: Tuple[int, int]
+                             ) -> List[Tuple[int, int, str, float]]:
+        """Stream flat per-frame I420 buffers (already at ``bucket_hw``) ->
+        predictions; the device converts I420->BGR inside the fused program
+        (input_format='yuv420'), so frame uploads are 1.5 bytes/px."""
+        from islx.pipeline.video import Prefetcher, flat_batches
+
+        self.reset()
+        out: List[Tuple[int, int, str, float]] = []
+        emit = self._make_emitter(out)
+        pending = None
+        hb, wb = bucket_hw
+        sy, sx = orig_hw[0] / hb, orig_hw[1] / wb
+
+        def finish(packed, n_valid):
+            results, boxes, peaks = self.pipe.assemble(
+                np.asarray(packed), self.batch)
+            emit(self._features(results, boxes, peaks, sy, sx)[:n_valid])
+
+        for flat, n_valid in Prefetcher(
+                flat_batches(iter(flat_frames), self.batch), depth=2):
+            packed = self.pipe.device_step_flat(
+                jnp.asarray(flat), self.batch, hb, wb, orig_hw,
+                input_format="yuv420")
+            if pending is not None:
+                finish(*pending)
+            pending = (packed, n_valid)
+        if pending is not None:
+            finish(*pending)
+        return out

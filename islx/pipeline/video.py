@@ -86,6 +86,74 @@ class FrameSource:
         self.close()
 
 
+class YUVFrameSource:
+    """Decode straight to BUCKETED I420 frames via ffmpeg: yields flat u8
+    buffers of ``hb*wb*3/2`` bytes per frame.
+
+    Decode, scale, and 4:2:0 all happen inside the decoder process (video is
+    stored 4:2:0 — this is the decoder's native output, the BGR round trip
+    the reference pays per frame never happens); the device converts
+    I420 -> BGR inside the fused program (islx.ops.yuv). Host->device frame
+    traffic drops to 1.5 bytes/px. Requires ffmpeg; callers fall back to
+    FrameSource + host bucketing when it is missing.
+    """
+
+    def __init__(self, path: str, bucket_hw: Tuple[int, int]):
+        if not _have("ffmpeg"):
+            raise RuntimeError("YUVFrameSource requires ffmpeg")
+        hb, wb = bucket_hw
+        assert hb % 2 == 0 and wb % 2 == 0, bucket_hw
+        self.path = path
+        self.meta = probe(path)
+        self.bucket_hw = bucket_hw
+        self.frame_bytes = hb * wb * 3 // 2
+        cmd = ["ffmpeg", "-v", "error", "-i", path,
+               "-vf", f"scale={wb}:{hb}", "-pix_fmt", "yuv420p",
+               "-f", "rawvideo", "-"]
+        self._proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            buf = self._proc.stdout.read(self.frame_bytes)
+            if len(buf) < self.frame_bytes:
+                break
+            yield np.frombuffer(buf, np.uint8)
+
+    def batches(self, batch: int) -> Iterator[Tuple[np.ndarray, int]]:
+        """Yield (flat u8 [batch*frame_bytes], n_valid); the tail batch is
+        padded by repeating the last frame (static device shapes)."""
+        return flat_batches(self, batch)
+
+    def close(self) -> None:
+        if self._proc.poll() is None:
+            self._proc.terminate()
+        self._proc.wait()
+        self._proc.stdout.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def flat_batches(frames: Iterator[np.ndarray], batch: int
+                 ) -> Iterator[Tuple[np.ndarray, int]]:
+    """Group flat per-frame u8 buffers into (concat [batch*bytes], n_valid)
+    device batches; the tail pads by repeating the last frame."""
+    buf: List[np.ndarray] = []
+    for f in frames:
+        buf.append(f)
+        if len(buf) == batch:
+            yield np.concatenate(buf), batch
+            buf.clear()
+    if buf:
+        n = len(buf)
+        while len(buf) < batch:
+            buf.append(buf[-1])
+        yield np.concatenate(buf), n
+
+
 class FrameWriter:
     """Write BGR u8 frames to a video file.
 

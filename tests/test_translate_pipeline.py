@@ -140,3 +140,21 @@ def test_features_nonzero(stubbed_pipeline, rng):
     for f in feats:
         assert f.shape == (156,)
         assert np.any(f[:30] != 0)    # body features present
+
+
+def test_translate_yuv_stream(stubbed_pipeline, rng):
+    """The I420 streaming path (device-side conversion) produces the same
+    prediction cadence as the BGR path; features agree because the stub
+    nets ignore pixel values."""
+    from islx.ops import yuv
+
+    frames = np.stack([(rng.rand(96, 64, 3) * 255).astype(np.uint8)
+                       for _ in range(26)])
+    flat = yuv.bgr_to_yuv420_host(frames)
+    per = yuv.frame_bytes(96, 64)
+    flats = [flat[i * per:(i + 1) * per] for i in range(26)]
+    out = stubbed_pipeline.translate_yuv_frames(flats, (96, 64), (96, 64))
+    assert [o[0] for o in out] == list(range(19, 26))
+
+    bgr_out = stubbed_pipeline.translate_frames(iter(frames))
+    assert [o[:2] for o in out] == [o[:2] for o in bgr_out]

@@ -74,3 +74,30 @@ class TestPrefetcher:
         from islx.pipeline.video import Prefetcher
 
         assert list(Prefetcher(iter(()))) == []
+
+
+def test_flat_batches_padding():
+    from islx.pipeline.video import flat_batches
+
+    frames = [np.full(6, i, np.uint8) for i in range(5)]
+    out = list(flat_batches(iter(frames), 2))
+    assert [n for _, n in out] == [2, 2, 1]
+    assert out[0][0].tolist() == [0] * 6 + [1] * 6
+    assert out[2][0].tolist() == [4] * 6 + [4] * 6   # tail pad repeats last
+    assert list(flat_batches(iter([]), 2)) == []
+
+
+def test_yuv_source_requires_ffmpeg(clip):
+    import shutil
+
+    from islx.pipeline.video import YUVFrameSource
+
+    path, _ = clip
+    if shutil.which("ffmpeg") is None:
+        with pytest.raises(RuntimeError):
+            YUVFrameSource(path, (48, 64))
+    else:
+        with YUVFrameSource(path, (48, 64)) as src:
+            got = list(src)
+        assert len(got) == 9
+        assert got[0].shape == (48 * 64 * 3 // 2,)

@@ -32,21 +32,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv=None):
-    import cv2
-
-    from islx.core import weights as W
-    from islx.core.config import HandConfig
-    from islx.pose.body import Body
-    from islx.pose.detector import hand_detect
-    from islx.pose.hand import Hand
-
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--images", default="/root/reference/images")
-    p.add_argument("--crops-per-image", type=int, default=8)
-    args = p.parse_args(argv)
-
-    wdir = os.environ.get("ISLX_WEIGHTS_DIR", "")
+def find_weights(wdir: str):
+    """-> (body25_path, hand_path), either may be None."""
     body_w = hand_w = None
     for n in ("pose_iter_584000.caffemodel.pt", "body25.npz"):
         q = os.path.join(wdir, n)
@@ -58,10 +45,21 @@ def main(argv=None):
         if wdir and os.path.exists(q):
             hand_w = q
             break
-    if not (body_w and hand_w):
-        print("SKIP: set ISLX_WEIGHTS_DIR to a directory with downloaded "
-              "reference checkpoints (body25 + hand)")
-        return 0
+    return body_w, hand_w
+
+
+def evaluate(body_w: str, hand_w: str, images: str = "/root/reference/images",
+             crops_per_image: int = 8):
+    """-> {config: {"mean": .., "p95": .., "max": .., "n": ..} | None}
+    keypoint-L2 stats of each single-scale config vs the 4-scale reference
+    pyramid (None = no matched keypoints: config unusable)."""
+    import cv2
+
+    from islx.core import weights as W
+    from islx.core.config import HandConfig
+    from islx.pose.body import Body
+    from islx.pose.detector import hand_detect
+    from islx.pose.hand import Hand
 
     body = Body(W.load(body_w, "body25"), "body25")
     hands = {
@@ -73,21 +71,20 @@ def main(argv=None):
     }
 
     crops = []
-    for path in sorted(glob.glob(os.path.join(args.images, "*.jpg"))):
+    for path in sorted(glob.glob(os.path.join(images, "*.jpg"))):
         img = cv2.imread(path)
         if img is None:
             continue
         candidate, subset = body(img)
         for x, y, w, _ in hand_detect(candidate, subset, img.shape)[
-                :args.crops_per_image]:
+                :crops_per_image]:
             crops.append((os.path.basename(path), img[y:y + w, x:x + w]))
     if not crops:
-        print("no hand crops detected on", args.images)
-        return 1
+        raise RuntimeError(f"no hand crops detected on {images}")
 
     peaks = {k: [np.asarray(h(c), np.float64) for _, c in crops]
              for k, h in hands.items()}
-    print(f"{len(crops)} crops from {args.images}")
+    out = {"n_crops": len(crops)}
     for k in ("single_368", "single_184"):
         l2 = []
         for ref, got in zip(peaks["ref_4scale"], peaks[k]):
@@ -95,14 +92,36 @@ def main(argv=None):
             if both.any():
                 l2.extend(np.linalg.norm(ref[both] - got[both], axis=-1))
         l2 = np.asarray(l2)
-        if l2.size == 0:
-            # the decisive negative result: the fast config found nothing
-            # the reference found — report it, don't crash on empty arrays
+        # None = the decisive negative result: the fast config found nothing
+        # the reference found (config unusable at this scale)
+        out[k] = None if l2.size == 0 else {
+            "mean": float(l2.mean()),
+            "p95": float(np.percentile(l2, 95)),
+            "max": float(l2.max()), "n": int(l2.size)}
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", default="/root/reference/images")
+    p.add_argument("--crops-per-image", type=int, default=8)
+    args = p.parse_args(argv)
+
+    body_w, hand_w = find_weights(os.environ.get("ISLX_WEIGHTS_DIR", ""))
+    if not (body_w and hand_w):
+        print("SKIP: set ISLX_WEIGHTS_DIR to a directory with downloaded "
+              "reference checkpoints (body25 + hand)")
+        return 0
+    res = evaluate(body_w, hand_w, args.images, args.crops_per_image)
+    print(f"{res['n_crops']} crops from {args.images}")
+    for k in ("single_368", "single_184"):
+        s = res[k]
+        if s is None:
             print(f"{k}: NO matched keypoints vs ref_4scale "
                   f"(config unusable at this scale)")
-            continue
-        print(f"{k}: mean L2 {l2.mean():.2f}px  p95 {np.percentile(l2, 95):.2f}px"
-              f"  max {l2.max():.2f}px  ({len(l2)} matched keypoints)")
+        else:
+            print(f"{k}: mean L2 {s['mean']:.2f}px  p95 {s['p95']:.2f}px"
+                  f"  max {s['max']:.2f}px  ({s['n']} matched keypoints)")
     return 0
 
 

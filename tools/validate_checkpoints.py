@@ -1,0 +1,129 @@
+"""One-command checkpoint activation: flip every weights-gated decision.
+
+The reference ships no weights (model/ is download-only,
+/root/reference/README.md:43-54), so two production defaults sit behind
+accuracy gates that only real checkpoints can open (PARITY.md #7,
+docs/PERFORMANCE.md "Headroom"):
+
+  1. 184px hand crops (HandConfig.production, 4x fewer hand-CPM FLOPs)
+  2. int8 (W8A8) trunks (~2x MXU on the dominant convs)
+
+The moment checkpoints are downloaded, run:
+
+    ISLX_WEIGHTS_DIR=/path/to/weights python tools/validate_checkpoints.py
+
+and this tool runs, in one pass:
+
+  * the golden parity suite (tests/test_golden_weights.py: islx vs the
+    reference's own torch code on images/demo.jpg, <1px mean keypoint L2,
+    plus the int8-vs-float golden),
+  * the hand-pyramid scale evaluation (tools/hand_scale_eval.py),
+
+then prints an explicit GO / NO-GO per gate:
+
+  * GO for 184 crops  = single_184 mean L2 < 1px vs the 4-scale pyramid
+    (otherwise export ISLX_HAND_SCALE=1.0 in production)
+  * GO for int8       = the int8 golden test passed
+    (then serve with --int8-after / quantize offline via islx.cli.quantize)
+
+Exit code 0 = every gate evaluated (GO or NO-GO); 1 = weights missing or a
+gate could not be evaluated.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_golden_suite() -> dict:
+    """pytest tests/test_golden_weights.py -> {passed, failed, skipped}."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_golden_weights.py",
+         "-q", "--tb=line"], cwd=REPO, capture_output=True, text=True)
+    tail = (out.stdout or "").strip().splitlines()
+    summary = tail[-1] if tail else ""
+    return {"returncode": out.returncode, "summary": summary,
+            "failed": " failed" in summary,
+            "passed": " passed" in summary and out.returncode == 0,
+            "output": out.stdout}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--images", default="/root/reference/images")
+    p.add_argument("--crops-per-image", type=int, default=8)
+    p.add_argument("--hand-gate-px", type=float, default=1.0,
+                   help="mean-L2 threshold for the 184px hand-crop GO")
+    p.add_argument("--json", action="store_true",
+                   help="emit one machine-readable JSON line at the end")
+    args = p.parse_args(argv)
+
+    from tools.hand_scale_eval import evaluate, find_weights
+
+    wdir = os.environ.get("ISLX_WEIGHTS_DIR", "")
+    body_w, hand_w = find_weights(wdir)
+    if not (body_w and hand_w):
+        print("NO-GO: set ISLX_WEIGHTS_DIR to a directory with downloaded "
+              "reference checkpoints (body25 + hand). Links: "
+              "/root/reference/README.md:43-54")
+        return 1
+
+    print(f"weights: body25={body_w} hand={hand_w}")
+    verdict = {"weights_dir": wdir}
+
+    # 1. golden parity suite (includes the int8 golden)
+    print("\n[1/2] golden parity suite (tests/test_golden_weights.py)...")
+    golden = run_golden_suite()
+    print("      " + golden["summary"])
+    if not golden["passed"]:
+        print(golden["output"])
+    verdict["golden_parity"] = "GO" if golden["passed"] else "NO-GO"
+    verdict["int8_default"] = verdict["golden_parity"]
+
+    # 2. hand-pyramid scale evaluation
+    print("\n[2/2] hand scale eval (184px vs the 4-scale reference "
+          "pyramid)...")
+    try:
+        res = evaluate(body_w, hand_w, args.images, args.crops_per_image)
+    except RuntimeError as e:
+        print(f"      could not evaluate: {e}")
+        verdict["hand_184_default"] = "UNEVALUATED"
+        res = None
+    if res is not None:
+        for k in ("single_368", "single_184"):
+            s = res[k]
+            line = ("NO matched keypoints (unusable)" if s is None else
+                    f"mean L2 {s['mean']:.2f}px  p95 {s['p95']:.2f}px  "
+                    f"max {s['max']:.2f}px  (n={s['n']})")
+            print(f"      {k}: {line}")
+        s184 = res["single_184"]
+        verdict["hand_184_default"] = (
+            "GO" if s184 is not None and s184["mean"] < args.hand_gate_px
+            else "NO-GO")
+        verdict["hand_scale_eval"] = res
+
+    print("\n==================== VERDICT ====================")
+    print(f"golden parity (<1px vs reference torch): "
+          f"{verdict['golden_parity']}")
+    print(f"184px hand crops as production default : "
+          f"{verdict['hand_184_default']}"
+          + ("" if verdict["hand_184_default"] == "GO"
+             else "   -> export ISLX_HAND_SCALE=1.0"))
+    print(f"int8 trunks as production default      : "
+          f"{verdict['int8_default']}"
+          + ("" if verdict["int8_default"] == "GO"
+             else "   -> keep bf16 (drop --int8-after)"))
+    if args.json:
+        print(json.dumps(verdict, default=str))
+    return 0 if verdict.get("hand_184_default") != "UNEVALUATED" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
