@@ -34,6 +34,26 @@ from islx.ops.preprocess import pad_amounts
 from islx.ops.resize import dynamic_crop_resize_batch, resize_cubic
 
 
+def _device_resident(params: cpm.Params, mesh=None) -> cpm.Params:
+    """Pin a param tree to device memory at pipeline construction.
+
+    Numpy-leaved trees (e.g. host-side quantized checkpoints, raw np.load
+    results) would otherwise be re-uploaded host->device on EVERY
+    device_step dispatch — on the relay-degraded link that is ~1-2s of
+    weight traffic per step and was measured as a 16x fps collapse of the
+    int8 config (BENCH_NOTES.md round 3). With a mesh the params are placed
+    replicated (matching the fused program's in_shardings); device_put is a
+    cheap no-op for leaves already resident on the right devices."""
+    if mesh is not None:
+        from islx.parallel import mesh as M
+
+        return jax.device_put(params, M.replicated(mesh))
+    dev = jax.config.jax_default_device
+    if dev is None:
+        dev = jax.local_devices()[0]
+    return jax.device_put(params, dev)
+
+
 def _chunked_vmap(fn, args: tuple, chunk: Optional[int]):
     """vmap fn over the leading axis, in lax.map chunks of ``chunk``.
 
@@ -111,7 +131,8 @@ class BatchedBodyPipeline:
                  fused_peaks: Optional[bool] = None):
         # weights pre-cast to the compute dtype: the per-step f32->bf16
         # convert inside the program is pure HBM traffic (see cpm.cast_params)
-        self.params = cpm.cast_params(params, compute_dtype)
+        self.params = _device_resident(
+            cpm.cast_params(params, compute_dtype), mesh)
         self.model_type = model_type
         self.cfg = cfg or PoseConfig(model_type=model_type)
         self.compute_dtype = compute_dtype
@@ -344,7 +365,8 @@ class BatchedHandPipeline:
     def __init__(self, params: cpm.Params, cfg: Optional[HandConfig] = None,
                  crop_size: int = 368, compute_dtype=jnp.bfloat16, mesh=None,
                  peak_mode: str = "cc", crop_chunk: Optional[int] = None):
-        self.params = cpm.cast_params(params, compute_dtype)  # see body pipe
+        self.params = _device_resident(
+            cpm.cast_params(params, compute_dtype), mesh)  # see body pipe
         self.cfg = cfg or HandConfig()
         self.crop_size = crop_size
         self.compute_dtype = compute_dtype
@@ -551,6 +573,9 @@ class FusedPosePipeline:
         # are frame-aligned (crop i -> frame i//2) so everything else stays
         # local to its shard.
         self.mesh = mesh
+        if mesh is not None:  # re-pin replicated for the in_shardings below
+            self.body.params = _device_resident(self.body.params, mesh)
+            self.hand.params = _device_resident(self.hand.params, mesh)
         self._programs = {}
 
     # hands per frame is fixed by construction: one per arm side
