@@ -35,10 +35,24 @@ BODY25 = _find(["pose_iter_584000.caffemodel.pt", "body25.npz",
                 "pose_iter_584000.caffemodel"])
 HAND = _find(["hand_pose_model.pth", "hand.npz"])
 
+
+def _torch_loadable(path):
+    """The reference oracle loads checkpoints via torch.load
+    (/root/reference/src/body.py:35), so only .pt/.pth/.caffemodel can feed
+    the reference-comparison tests; .npz checkpoints are islx-only and the
+    comparison tests skip on them."""
+    return path is not None and path.endswith((".pt", ".pth", ".caffemodel"))
+
+
 requires_weights = pytest.mark.skipif(
     not (WEIGHTS_DIR and has_reference() and has_torch()),
     reason="set ISLX_WEIGHTS_DIR to a directory with downloaded reference "
            "checkpoints (and need /root/reference + torch)")
+
+requires_ref_loadable = pytest.mark.skipif(
+    not (_torch_loadable(BODY25) and (HAND is None or _torch_loadable(HAND))),
+    reason="reference torch oracle needs .pt/.pth checkpoints "
+           "(npz is islx-only)")
 
 
 def _reference_body(model_path, model_type, ori_img):
@@ -65,6 +79,7 @@ def _mean_keypoint_l2(cand_a, cand_b):
 
 
 @requires_weights
+@requires_ref_loadable
 @pytest.mark.skipif(BODY25 is None, reason="body25 checkpoint not found")
 def test_body25_demo_golden():
     import cv2
@@ -81,6 +96,7 @@ def test_body25_demo_golden():
 
 
 @requires_weights
+@requires_ref_loadable
 @pytest.mark.skipif(BODY25 is None or HAND is None,
                     reason="body25+hand checkpoints not found")
 def test_full_demo_pipeline_golden():

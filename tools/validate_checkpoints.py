@@ -40,19 +40,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_golden_suite() -> dict:
-    """pytest tests/test_golden_weights.py -> {passed, failed, skipped}."""
+def run_golden_suite(selector: str) -> dict:
+    """pytest a subset of tests/test_golden_weights.py.
+
+    verdict: GO (ran and passed), NO-GO (a test failed), or UNEVALUATED
+    (everything skipped — e.g. npz-only checkpoints can't feed the
+    reference torch oracle, see test_golden_weights._torch_loadable)."""
     import subprocess
 
     out = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_golden_weights.py",
-         "-q", "--tb=line"], cwd=REPO, capture_output=True, text=True)
+         "-k", selector, "-q", "--tb=line"],
+        cwd=REPO, capture_output=True, text=True)
     tail = (out.stdout or "").strip().splitlines()
     summary = tail[-1] if tail else ""
+    if " failed" in summary or out.returncode not in (0, 5):
+        verdict = "NO-GO"
+    elif " passed" in summary and out.returncode == 0:
+        verdict = "GO"
+    else:
+        verdict = "UNEVALUATED"
     return {"returncode": out.returncode, "summary": summary,
-            "failed": " failed" in summary,
-            "passed": " passed" in summary and out.returncode == 0,
-            "output": out.stdout}
+            "verdict": verdict, "output": out.stdout}
 
 
 def main(argv=None) -> int:
@@ -78,14 +87,20 @@ def main(argv=None) -> int:
     print(f"weights: body25={body_w} hand={hand_w}")
     verdict = {"weights_dir": wdir}
 
-    # 1. golden parity suite (includes the int8 golden)
+    # 1. golden parity suite — the reference-comparison goldens and the
+    # int8-vs-float golden gate DIFFERENT decisions, so they are judged
+    # independently (npz-only checkpoints skip the former, not the latter)
     print("\n[1/2] golden parity suite (tests/test_golden_weights.py)...")
-    golden = run_golden_suite()
-    print("      " + golden["summary"])
-    if not golden["passed"]:
-        print(golden["output"])
-    verdict["golden_parity"] = "GO" if golden["passed"] else "NO-GO"
-    verdict["int8_default"] = verdict["golden_parity"]
+    parity = run_golden_suite("demo_golden or full_demo")
+    print("      ref parity: " + parity["summary"])
+    if parity["verdict"] == "NO-GO":
+        print(parity["output"])
+    int8 = run_golden_suite("int8_quantized")
+    print("      int8 golden: " + int8["summary"])
+    if int8["verdict"] == "NO-GO":
+        print(int8["output"])
+    verdict["golden_parity"] = parity["verdict"]
+    verdict["int8_default"] = int8["verdict"]
 
     # 2. hand-pyramid scale evaluation
     print("\n[2/2] hand scale eval (184px vs the 4-scale reference "
@@ -111,7 +126,9 @@ def main(argv=None) -> int:
 
     print("\n==================== VERDICT ====================")
     print(f"golden parity (<1px vs reference torch): "
-          f"{verdict['golden_parity']}")
+          f"{verdict['golden_parity']}"
+          + ("   -> needs .pt/.pth checkpoints (npz is islx-only)"
+             if verdict["golden_parity"] == "UNEVALUATED" else ""))
     print(f"184px hand crops as production default : "
           f"{verdict['hand_184_default']}"
           + ("" if verdict["hand_184_default"] == "GO"
@@ -122,7 +139,8 @@ def main(argv=None) -> int:
              else "   -> keep bf16 (drop --int8-after)"))
     if args.json:
         print(json.dumps(verdict, default=str))
-    return 0 if verdict.get("hand_184_default") != "UNEVALUATED" else 1
+    gates = ("golden_parity", "hand_184_default", "int8_default")
+    return 0 if all(verdict.get(g) in ("GO", "NO-GO") for g in gates) else 1
 
 
 if __name__ == "__main__":
