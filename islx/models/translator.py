@@ -214,6 +214,39 @@ _LAYER_ORDER = ["bn0", ("lstm1_fwd", "lstm1_bwd"), ("lstm2_fwd", "lstm2_bwd"),
                 "dense1", "bn1", "dense2", "bn2", "dense3"]
 
 
+def build_keras_head(cfg: Optional[TranslatorConfig] = None,
+                     name: str = "islx_head"):
+    """The reference's exact keras head graph (demo_isl_translate.py:72-100)
+    — for exporting islx-trained weights into the reference's stack and for
+    the one-model artifact (islx.models.one_model)."""
+    import keras
+    from keras.layers import (LSTM, Activation, BatchNormalization,
+                              Bidirectional, Dense, Dropout, Input, Masking)
+
+    cfg = cfg or TranslatorConfig()
+    m = keras.Sequential(name=name)
+    m.add(Input(shape=(cfg.window_size, cfg.feature_dim)))
+    m.add(Masking(mask_value=0.0))
+    m.add(BatchNormalization())
+    m.add(Bidirectional(LSTM(cfg.lstm_units, recurrent_dropout=0.2,
+                             return_sequences=True)))
+    m.add(Dropout(0.2))
+    m.add(Bidirectional(LSTM(cfg.lstm_units, recurrent_dropout=0.2)))
+    m.add(Activation("elu"))
+    m.add(Dense(cfg.dense_units, use_bias=False,
+                kernel_initializer="he_normal"))
+    m.add(BatchNormalization())
+    m.add(Dropout(0.2))
+    m.add(Activation("elu"))
+    m.add(Dense(cfg.dense_units, use_bias=False,
+                kernel_initializer="he_normal"))
+    m.add(BatchNormalization())
+    m.add(Activation("elu"))
+    m.add(Dropout(0.2))
+    m.add(Dense(cfg.n_classes, activation="softmax"))
+    return m
+
+
 def from_keras_weights(weight_lists: list) -> Params:
     """Build params from keras get_weights() lists, one per weighted layer in
     model order. BN = [gamma, beta, mean, var]; Bidirectional LSTM =

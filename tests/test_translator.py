@@ -14,29 +14,9 @@ from conftest import has_reference
 
 
 def _build_keras_head(cfg):
-    import keras
-    from keras.layers import (LSTM, BatchNormalization, Bidirectional, Dense,
-                              Dropout, Input, Masking)
-
-    m = keras.Sequential()
-    m.add(Input(shape=(cfg.window_size, cfg.feature_dim)))
-    m.add(Masking(mask_value=0.0))
-    m.add(BatchNormalization())
-    m.add(Bidirectional(LSTM(cfg.lstm_units, recurrent_dropout=0.2,
-                             return_sequences=True)))
-    m.add(Dropout(0.2))
-    m.add(Bidirectional(LSTM(cfg.lstm_units, recurrent_dropout=0.2)))
-    m.add(keras.layers.Activation("elu"))
-    m.add(Dense(cfg.dense_units, use_bias=False, kernel_initializer="he_normal"))
-    m.add(BatchNormalization())
-    m.add(Dropout(0.2))
-    m.add(keras.layers.Activation("elu"))
-    m.add(Dense(cfg.dense_units, use_bias=False, kernel_initializer="he_normal"))
-    m.add(BatchNormalization())
-    m.add(keras.layers.Activation("elu"))
-    m.add(Dropout(0.2))
-    m.add(Dense(cfg.n_classes, activation="softmax"))
-    return m
+    # the reference-graph builder now lives in the package (it also feeds
+    # the one-model artifact, islx.models.one_model)
+    return T.build_keras_head(cfg)
 
 
 @pytest.fixture(scope="module")
