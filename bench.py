@@ -110,11 +110,15 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         note = "TPU runtime unreachable; CPU fallback measurement"
 
-    # 64 frames/step: the ~100ms fixed fetch RPC and ~70ms upload amortize
-    # over twice the device work vs B=32 (measured +20% fps; fetching every
-    # other step instead measured SLOWER — the fetch already overlaps)
+    # Frames per device step: post-184px-crops the device step is ~47ms at
+    # B=64 while the relay adds ~100ms FIXED per fetch, so bigger batches
+    # amortize the RPC toward the upload-bandwidth asymptote
+    # (tools/batch_size_ab.py interleaved: 64->652, 96->707, 128->778,
+    # 192->804 fps; fetching every other step measured SLOWER — the fetch
+    # already overlaps).
     degraded = note is not None        # CPU fallback / functional check
-    B = 64 if not degraded else 4      # frames per device step
+    B = (int(os.environ.get("ISLX_BENCH_B", "192"))
+         if not degraded else 4)       # frames per device step
 
     img = cv2.imread("/root/reference/images/demo.jpg")
     if img is None:

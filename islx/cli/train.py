@@ -37,6 +37,9 @@ def main(argv=None):
                    help="per-epoch TrainState checkpoints (crash resume)")
     p.add_argument("--bundle", default=None,
                    help="also save a full translator bundle to this dir")
+    p.add_argument("--keras-bundle", default=None,
+                   help="also export a portable one-model .keras artifact "
+                        "(islx.models.one_model)")
     p.add_argument("--body-weights", default=None)
     p.add_argument("--hand-weights", default=None)
     p.add_argument("--model-type", default="body25",
@@ -75,8 +78,7 @@ def main(argv=None):
     T.save_npz(args.out, params)
     print(f"head -> {args.out}")
 
-    if args.bundle:
-        from islx.core import checkpoint as ckpt
+    if args.bundle or args.keras_bundle:
         from islx.core import weights as W
         from islx.models import cpm
 
@@ -84,8 +86,19 @@ def main(argv=None):
                 if args.body_weights else cpm.init_params(args.model_type))
         hand = (W.load(args.hand_weights, "hand") if args.hand_weights
                 else cpm.init_params("hand"))
-        ckpt.save_bundle(args.bundle, body, hand, params, args.model_type)
-        print(f"bundle -> {args.bundle}")
+        if args.bundle:
+            from islx.core import checkpoint as ckpt
+
+            ckpt.save_bundle(args.bundle, body, hand, params,
+                             args.model_type)
+            print(f"bundle -> {args.bundle}")
+        if args.keras_bundle:
+            from islx.models import one_model
+
+            one_model.export_one_model(body, hand, params,
+                                       args.keras_bundle,
+                                       model_type=args.model_type, cfg=cfg)
+            print(f"keras one-model -> {args.keras_bundle}")
 
 
 if __name__ == "__main__":

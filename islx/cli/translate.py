@@ -36,8 +36,10 @@ def main(argv=None):
     p.add_argument("--head", default=None,
                    help="translator head checkpoint (.keras/.h5/.npz)")
     p.add_argument("--bundle", default=None,
-                   help="translator bundle dir (body+hand+head in one — the "
-                        "reference demo_isl_translate_one_model.py flow)")
+                   help="translator bundle: orbax dir OR a portable .keras/"
+                        ".h5 one-model artifact (body+hand+head in one — "
+                        "the reference demo_isl_translate_one_model.py "
+                        "flow; export via islx.cli.train --keras-bundle)")
     p.add_argument("--body-weights", default=None)
     p.add_argument("--hand-weights", default=None)
     p.add_argument("--min-prob", type=float, default=0.0)
@@ -59,7 +61,14 @@ def main(argv=None):
     body_params = hand_params = None
     head_params = load_head(args.head)
     model_type = "body25"
-    if args.bundle:
+    if args.bundle and args.bundle.endswith((".keras", ".h5")):
+        # portable single-artifact translator (islx.models.one_model — the
+        # reference's demo_isl_translate_one_model.py flow)
+        from islx.models import one_model
+
+        body_params, hand_params, head_params = \
+            one_model.import_one_model(args.bundle)
+    elif args.bundle:
         from islx.core import checkpoint as ckpt
 
         body_params, hand_params, head_params, model_type = \

@@ -64,12 +64,18 @@ def test_train_cli_and_bundle_translate(clip, tmp_path):
         f.write(f"video_id,expression\n{vid},Hello\n")
     head = str(tmp_path / "head.npz")
     bundle = str(tmp_path / "bundle")
+    keras_bundle = str(tmp_path / "one.keras")
     train.main([feat, "--labels", labels, "--out", head, "--epochs", "1",
-                "--batch", "1", "--bundle", bundle])
+                "--batch", "1", "--bundle", bundle,
+                "--keras-bundle", keras_bundle])
     assert os.path.exists(head)
     assert os.path.exists(os.path.join(bundle, "bundle.json"))
+    assert os.path.exists(keras_bundle)
 
     translate.main([clip, "--bundle", bundle, "--batched", "--batch", "8"])
+    # the portable one-model artifact drives the same flow
+    translate.main([clip, "--bundle", keras_bundle, "--batched",
+                    "--batch", "8"])
 
 
 def test_demo_video_batched_hands(clip, tmp_path):
