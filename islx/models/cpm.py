@@ -309,18 +309,58 @@ def _conv(x: jax.Array, p: Dict[str, jax.Array], c: Conv,
 
 
 def _maxpool2(x: jax.Array) -> jax.Array:
+    # int8-aware: max-pool commutes with the (monotone) activation
+    # quantization, so int8-resident chains pool the int8 directly.
+    # init must stay a PYTHON scalar: an array init becomes a traced
+    # operand and reverse-mode linearization of reduce_window fails.
+    init = np.int8(-128) if x.dtype == jnp.int8 else -jnp.inf
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        x, init, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )
 
 
 def _seq(x: jax.Array, layers: Sequence[Layer], params: Params,
          compute_dtype) -> jax.Array:
-    for layer in layers:
+    """Sequential chain with INT8-RESIDENT activations between consecutive
+    quantized convs: instead of bf16-out -> separate quantize-in per conv
+    (the clamp_convert fusions that were half the int8 device step,
+    docs/PERFORMANCE.md round 3), each conv's epilogue emits int8 at the
+    NEXT conv's activation scale, and max-pools between them run on int8
+    (quantization is monotone, so pool∘quant == quant∘pool exactly).
+    Float layers and the calibration pass are untouched."""
+    from islx.models import quant
+
+    n = len(layers)
+    x_q = None   # int8 carry, quantized at the CURRENT conv's a_scale
+    i = 0
+    while i < n:
+        layer = layers[i]
         if isinstance(layer, Pool):
             x = _maxpool2(x)
+            i += 1
+            continue
+        p = params[layer.name]
+        if "w_q" not in p:
+            x = _conv(x, p, layer, compute_dtype)
+            i += 1
+            continue
+        if x_q is None:
+            x_q = quant.quantize_act(x, p["a_scale"])
+        j = i + 1                      # next conv, skipping pools
+        while j < n and isinstance(layers[j], Pool):
+            j += 1
+        nxt = params[layers[j].name] if j < n else None
+        if nxt is not None and "w_q" in nxt and not layer.head:
+            out_q = quant.conv_q_core(
+                x_q, p, layer, compute_dtype,
+                out_inv=127.0 / nxt["a_scale"].astype(jnp.float32))
+            for _ in range(i + 1, j):
+                out_q = _maxpool2(out_q)
+            x_q, i = out_q, j
         else:
-            x = _conv(x, params[layer.name], layer, compute_dtype)
+            x = quant.conv_q_core(x_q, p, layer, compute_dtype)
+            x_q = None
+            i += 1
     return x
 
 

@@ -60,27 +60,47 @@ def quantize_params(params: cpm.Params, a_scales: Dict[str, float],
     return out
 
 
-def conv_q(x: jax.Array, p: Dict[str, jax.Array], c,
-           compute_dtype=jnp.float32) -> jax.Array:
-    """Int8 conv with the float path's epilogue semantics (cpm._conv)."""
-    inv = 127.0 / p["a_scale"].astype(jnp.float32)
-    x_q = jnp.clip(jnp.rint(x.astype(jnp.float32) * inv),
-                   -127, 127).astype(jnp.int8)
+def quantize_act(x: jax.Array, a_scale: jax.Array) -> jax.Array:
+    """Symmetric per-tensor activation quantization to int8."""
+    inv = 127.0 / a_scale.astype(jnp.float32)
+    return jnp.clip(jnp.rint(x.astype(jnp.float32) * inv),
+                    -127, 127).astype(jnp.int8)
+
+
+def conv_q_core(x_q: jax.Array, p: Dict[str, jax.Array], c,
+                compute_dtype=jnp.float32,
+                out_inv: Optional[jax.Array] = None) -> jax.Array:
+    """Int8 conv over ALREADY-QUANTIZED activations (int8 at p['a_scale']).
+
+    out_inv is None  -> float output (cpm._conv epilogue semantics).
+    out_inv = 127/next_a_scale -> INT8 output requantized for the next
+    quantized conv in the SAME epilogue fusion. The unchained path writes
+    bf16 activations and re-reads them through a separate quantize pass —
+    those clamp_convert fusions measured as HALF the int8 device step
+    (docs/PERFORMANCE.md round 3); chaining emits 1 byte/px once instead.
+    """
     y = jax.lax.conv_general_dilated(
         x_q, p["w_q"], window_strides=(1, 1),
         padding=[(c.pad, c.pad), (c.pad, c.pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    epi = jnp.float32 if c.head else compute_dtype
     scale = (p["s_w"] * (p["a_scale"] / 127.0)).astype(jnp.float32)
-    out = (y.astype(jnp.float32) * scale).astype(epi) + p["b"].astype(epi)
+    out = y.astype(jnp.float32) * scale + p["b"].astype(jnp.float32)
     if c.act == "relu":
-        out = jnp.maximum(out, jnp.asarray(0.0, epi))
+        out = jnp.maximum(out, 0.0)
     elif c.act == "prelu":
-        a = p["p"].astype(epi)
+        a = p["p"].astype(jnp.float32)
         out = jnp.where(out >= 0, out, a * out)
-    return out
+    if out_inv is not None:
+        return jnp.clip(jnp.rint(out * out_inv), -127, 127).astype(jnp.int8)
+    return out.astype(jnp.float32 if c.head else compute_dtype)
+
+
+def conv_q(x: jax.Array, p: Dict[str, jax.Array], c,
+           compute_dtype=jnp.float32) -> jax.Array:
+    """Int8 conv with the float path's epilogue semantics (cpm._conv)."""
+    return conv_q_core(quantize_act(x, p["a_scale"]), p, c, compute_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -113,3 +113,50 @@ def test_quantized_params_checkpoint_roundtrip(rng, tmp_path):
             got = np.asarray(back[name][k])
             assert got.dtype == np.asarray(v).dtype, (name, k)
             np.testing.assert_array_equal(got, np.asarray(v))
+
+
+def test_int8_resident_chain_matches_unchained(rng):
+    """cpm._seq chains int8 between quantized convs (requantize fused into
+    the epilogue, pools on int8). Must match running conv_q per conv on a
+    float carry: identical int math, the chain only skips the intermediate
+    compute-dtype round trip — exact in f32, tight in bf16."""
+    layers = [
+        cpm.Conv("a", 3, 8, 3, 1, "relu"),
+        cpm.Conv("b", 8, 8, 3, 1, "relu"),
+        cpm.Pool(2, 2),
+        cpm.Conv("c", 8, 8, 3, 1, "relu"),
+        cpm.Conv("d", 8, 4, 1, 0, "none"),
+    ]
+    x = rng.rand(2, 8, 8, 3).astype(np.float32) - 0.5
+    params = {c.name: {"w": jnp.asarray((rng.randn(c.k, c.k, c.cin, c.cout)
+                                         * 0.2).astype(np.float32)),
+                       "b": jnp.asarray(rng.randn(c.cout).astype(np.float32))}
+              for c in layers if isinstance(c, cpm.Conv)}
+    # calibrate by running the float chain eagerly
+    maxes = {}
+    h = jnp.asarray(x)
+    for layer in layers:
+        if isinstance(layer, cpm.Pool):
+            h = cpm._maxpool2(h)
+        else:
+            maxes[layer.name] = float(jnp.abs(h).max())
+            h = cpm._conv(h, params[layer.name], layer, jnp.float32)
+    qp = quant.quantize_params(params, maxes)
+
+    chained = np.asarray(cpm._seq(jnp.asarray(x), layers, qp, jnp.float32))
+    h = jnp.asarray(x)
+    for layer in layers:
+        if isinstance(layer, cpm.Pool):
+            h = cpm._maxpool2(h)
+        else:
+            h = quant.conv_q(h, qp[layer.name], layer, jnp.float32)
+    unchained = np.asarray(h)
+    np.testing.assert_allclose(chained, unchained, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_pool_commutes_with_quantize(rng):
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    s = jnp.float32(float(jnp.abs(x).max()))
+    np.testing.assert_array_equal(
+        np.asarray(cpm._maxpool2(quant.quantize_act(x, s))),
+        np.asarray(quant.quantize_act(cpm._maxpool2(x), s)))
