@@ -71,6 +71,7 @@ class MicroBatcher:
         # chain runs off-thread and the worker flips to the finished
         # pipeline between batches, so no request pays the ~20s compile
         self._quant_started = False
+        self._quant_thread: Optional[threading.Thread] = None
         self._pending_pipe = None
         self._pending_lock = threading.Lock()
         self._bucket_for = bucket_for
@@ -104,6 +105,14 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5.0)
+        # the background quantize thread runs eager JAX; left alive past
+        # close() it races whatever the process does next (measured: an
+        # XLA abort when a later test ran a mesh computation while a leaked
+        # calibration thread was mid-forward). It checks _stop between
+        # calibration chunks, so the join is bounded by one chunk.
+        t = self._quant_thread
+        if t is not None:
+            t.join(timeout=120.0)
         # fail any request the worker never picked up — a submit() racing
         # shutdown must not leave its caller blocked forever
         while True:
@@ -200,9 +209,10 @@ class MicroBatcher:
                 # original size whose bucket matches the calibration shape
                 # (sy/sx bake into the program key)
                 cal_hw0 = hw0 if (hb, wb) == (ch, cw) else (ch, cw)
-                threading.Thread(
+                self._quant_thread = threading.Thread(
                     target=self._background_quantize,
-                    args=(calib, cal_hw0), daemon=True).start()
+                    args=(calib, cal_hw0), daemon=True)
+                self._quant_thread.start()
         packed = self.pipe.device_step(frames, (h0, w0))
         results, boxes, peaks = self.pipe.assemble(packed, self.max_batch)
         sy, sx = h0 / hb, w0 / wb
@@ -241,6 +251,18 @@ class MicroBatcher:
         from islx.models import quant
         from islx.pipeline.batch_pose import FusedPosePipeline
 
+        class _Cancelled(Exception):
+            pass
+
+        def chunks_until_close(arr):
+            # abort between chunks when close() has been called: a leaked
+            # calibration thread doing eager forwards races whatever the
+            # process runs next (see close())
+            for i in range(0, len(arr), self._CALIB_CHUNK):
+                if self._stop.is_set():
+                    raise _Cancelled()
+                yield arr[i:i + self._CALIB_CHUNK]
+
         try:
             old = self.pipe
             xcal = np.stack(calib_frames).astype(np.float32) / 256.0 - 0.5
@@ -251,19 +273,19 @@ class MicroBatcher:
                 for f in calib_frames]).astype(np.float32) / 256.0 - 0.5
             # chunked eager forwards: a single big batch at the hand net's
             # full-resolution activations would blow HBM
-            xb = [xcal[i:i + self._CALIB_CHUNK]
-                  for i in range(0, len(xcal), self._CALIB_CHUNK)]
-            hb_ = [hcal[i:i + self._CALIB_CHUNK]
-                   for i in range(0, len(hcal), self._CALIB_CHUNK)]
             cd = old.body.compute_dtype
-            bq = quant.quantize_model(old.body.params, old.model_type, xb,
+            bq = quant.quantize_model(old.body.params, old.model_type,
+                                      chunks_until_close(xcal),
                                       compute_dtype=cd)
-            hq = quant.quantize_model(old.hand.params, "hand", hb_,
+            hq = quant.quantize_model(old.hand.params, "hand",
+                                      chunks_until_close(hcal),
                                       compute_dtype=cd)
             new_pipe = FusedPosePipeline(
                 bq, hq, old.model_type, old.body.cfg, old.hand.cfg,
                 det_cfg=old.det_cfg, compute_dtype=cd, top_m=old.body.top_m,
                 crop_chunk=old.hand.crop_chunk)
+            if self._stop.is_set():
+                return
             # compile + warm at the calibration resolution (one dummy step,
             # fetched) so the worker's flip is instantaneous
             ch, cw = calib_frames[0].shape[:2]
@@ -271,6 +293,8 @@ class MicroBatcher:
             np.asarray(new_pipe.device_step(warm, cal_hw0))
             with self._pending_lock:
                 self._pending_pipe = new_pipe
+        except _Cancelled:
+            return
         except Exception:
             # a failed swap must not poison serving: stay float
             self.quantize_after = None
