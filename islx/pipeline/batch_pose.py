@@ -16,6 +16,7 @@ pyramid is configurable (reference-compat 4 scales or a fast single scale).
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -29,7 +30,8 @@ from islx.ops.hand_peaks import (find_hand_peaks, find_hand_peaks_fast,
                                  find_hand_peaks_refine)
 from islx.ops.paf import (LIMB_TABLES, compact_connections, score_limbs,
                           score_limbs_mxu)
-from islx.ops.peaks import find_peaks, find_peaks_fused
+from islx.ops.peaks import (find_peaks, find_peaks_fused,
+                            find_peaks_fused_batched)
 from islx.ops.preprocess import pad_amounts
 from islx.ops.resize import dynamic_crop_resize_batch, resize_cubic
 
@@ -128,7 +130,8 @@ class BatchedBodyPipeline:
                  cfg: Optional[PoseConfig] = None,
                  compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48,
                  paf_mode: str = "mxu", two_stage_peaks: bool = True,
-                 fused_peaks: Optional[bool] = None):
+                 fused_peaks: Optional[bool] = None,
+                 pallas_nms: Optional[bool] = None):
         # weights pre-cast to the compute dtype: the per-step f32->bf16
         # convert inside the program is pure HBM traffic (see cpm.cast_params)
         self.params = _device_resident(
@@ -147,6 +150,21 @@ class BatchedBodyPipeline:
         if fused_peaks is None:
             fused_peaks = two_stage_peaks
         self.fused_peaks = fused_peaks
+        # pallas_nms: NMS+first-K peak selection as one Pallas VMEM pass
+        # (islx.ops.pallas_peaks) instead of the XLA rank/cumsum chain —
+        # ~28ms/step of HBM-resident s32 tensors + layout copies on the
+        # B=192 bench program. Auto: on for TPU (where it was measured),
+        # off elsewhere (CPU runs the kernel interpreted = slow). The
+        # ISLX_PALLAS_NMS env var overrides for A/B measurement.
+        if pallas_nms is None:
+            env = os.environ.get("ISLX_PALLAS_NMS")
+            # default OFF until the compiled-on-TPU validation stage
+            # (tools/tpu_validate.py nmspeaks) passes on this build
+            pallas_nms = env is not None and env not in ("0", "false")
+        # pallas_call does not auto-partition under pjit — keep the XLA
+        # selection when the program is sharded over a mesh
+        self.pallas_nms = (bool(pallas_nms) and self.fused_peaks
+                           and mesh is None)
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
@@ -163,7 +181,13 @@ class BatchedBodyPipeline:
         def single_scale(params, frames, thre1):
             x = frames.astype(jnp.float32) / 256.0 - 0.5
             paf8, heat8 = forward(params, x, cd)
-            if self.fused_peaks:
+            if self.fused_peaks and self.pallas_nms:
+                # blur ∘ upsample folded into one matmul pair + NMS/first-K
+                # selection as one Pallas VMEM pass
+                pk = find_peaks_fused_batched(
+                    heat8[:, :, :, :cfg.njoint - 1], hb, wb, thre1,
+                    cfg.max_peaks)
+            elif self.fused_peaks:
                 # blur ∘ upsample folded into one matmul pair; the
                 # unblurred full-res heatmap is never materialized
                 pk = jax.vmap(lambda h: find_peaks_fused(
@@ -576,6 +600,9 @@ class FusedPosePipeline:
         if mesh is not None:  # re-pin replicated for the in_shardings below
             self.body.params = _device_resident(self.body.params, mesh)
             self.hand.params = _device_resident(self.hand.params, mesh)
+            # the fused program is pjit-sharded over `data`; pallas_call
+            # does not auto-partition under pjit
+            self.body.pallas_nms = False
         self._programs = {}
 
     # hands per frame is fixed by construction: one per arm side

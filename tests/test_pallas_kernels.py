@@ -21,6 +21,48 @@ def test_cc_kernel_matches_xla(rng):
     np.testing.assert_array_equal(want, got)
 
 
+def test_nms_first_k_kernel_matches_xla(rng):
+    """Kernel selection == _first_k_masked(_nms_mask(...)) on the SAME
+    blurred input: indices, sentinels and ordering all exact."""
+    from islx.ops.pallas_peaks import nms_first_k
+    from islx.ops.peaks import _first_k_masked, _nms_mask
+
+    b, c, h, w, k = 3, 25, 46, 32, 16
+    thre = 0.55
+    maps = rng.rand(b, c, h, w).astype(np.float32)
+    # a flat plateau exercises the >=-tie semantics
+    maps[0, 0, 10:13, 5:8] = 0.9
+    got = np.asarray(nms_first_k(jnp.asarray(maps), jnp.float32(thre), k,
+                                 interpret=True))
+    for i in range(b):
+        hwc = jnp.asarray(maps[i].transpose(1, 2, 0))      # [H,W,C]
+        mask = _nms_mask(hwc, thre)
+        flat = mask.transpose(2, 0, 1).reshape(c, h * w)
+        want = np.asarray(_first_k_masked(flat, k))
+        np.testing.assert_array_equal(want, got[i])
+
+
+def test_find_peaks_fused_batched_matches_vmap(rng):
+    """Batched pallas epilogue == vmap(find_peaks_fused) end to end (random
+    data: NMS ties have measure zero, so results are exact)."""
+    from islx.ops.peaks import find_peaks_fused, find_peaks_fused_batched
+
+    b, h8, w8, c = 2, 12, 9, 7
+    h_out, w_out = 96, 72
+    heat8 = rng.rand(b, h8, w8, c).astype(np.float32)
+    want = jax.vmap(lambda hh: find_peaks_fused(
+        hh, h_out, w_out, 0.4, 8))(jnp.asarray(heat8))
+    got = find_peaks_fused_batched(jnp.asarray(heat8), h_out, w_out,
+                                   jnp.float32(0.4), 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(want.xy), np.asarray(got.xy))
+    np.testing.assert_array_equal(np.asarray(want.valid),
+                                  np.asarray(got.valid))
+    np.testing.assert_array_equal(np.asarray(want.count),
+                                  np.asarray(got.count))
+    np.testing.assert_allclose(np.asarray(want.score), np.asarray(got.score),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_paf_kernel_matches_xla(rng):
     h, w, k, c = 92, 64, 16, 25
     paf = (rng.rand(h, w, 52).astype(np.float32) - 0.4)

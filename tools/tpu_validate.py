@@ -82,6 +82,52 @@ def stage_kernels():
         print(f"[kernels] {name}: {(time.time() - t0) / 5 * 1000:.1f} ms")
 
 
+def stage_nmspeaks():
+    """Compiled-on-TPU equality + interleaved timing of the Pallas NMS+first-K
+    peak selection (islx.ops.pallas_peaks) vs the XLA rank/cumsum chain,
+    inside the production body program at the bench bucket."""
+    from islx.core.config import PoseConfig
+    from islx.models import cpm
+    from islx.ops.pallas_peaks import nms_first_k
+    from islx.ops.peaks import _first_k_masked, _nms_mask
+    from islx.pipeline.batch_pose import BatchedBodyPipeline
+
+    rng = np.random.RandomState(0)
+    # standalone kernel equality at bench shapes
+    b, c, h, w, k = 8, 25, 184, 128, 16
+    maps = rng.rand(b, c, h, w).astype(np.float32)
+    t0 = time.time()
+    got = np.asarray(nms_first_k(jnp.asarray(maps), jnp.float32(0.6), k))
+    ok = True
+    for i in range(b):
+        mask = _nms_mask(jnp.asarray(maps[i].transpose(1, 2, 0)), 0.6)
+        want = np.asarray(_first_k_masked(
+            mask.transpose(2, 0, 1).reshape(c, h * w), k))
+        ok = ok and np.array_equal(want, got[i])
+    print(f"[nmspeaks] nms_first_k compiled-on-TPU equality: "
+          f"{'PASS' if ok else 'FAIL'} ({time.time() - t0:.1f}s)")
+
+    # interleaved body-program timing, pallas vs xla selection
+    B, hb, wb = 64, 184, 128
+    params = cpm.init_params("body25")
+    frames = (rng.rand(B, hb, wb, 3) * 255).astype(np.uint8)
+    pipes = {}
+    for name, flag in (("pallas", True), ("xla", False)):
+        pipes[name] = BatchedBodyPipeline(
+            params, "body25", PoseConfig(model_type="body25", max_peaks=16),
+            compute_dtype=jnp.bfloat16, pallas_nms=flag)
+        pipes[name].device_step(frames)  # compile
+    for rep in range(3):
+        for name, pipe in pipes.items():
+            t0 = time.time()
+            for i in range(4):
+                frames[0, i, rep, 0] ^= 1  # defeat relay memoization
+                np.asarray(pipe.device_step(frames))
+            print(f"[nmspeaks] rep{rep} {name}: "
+                  f"{(time.time() - t0) / 4 * 1000:.0f} ms/64-frame step "
+                  f"(fetch-inclusive)")
+
+
 def stage_handcompile():
     from islx.core.config import HandConfig
     from islx.models import cpm
@@ -143,7 +189,8 @@ def stage_profile():
     bench._watchdog()
 
 
-STAGES = {"kernels": stage_kernels, "handcompile": stage_handcompile,
+STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
+          "handcompile": stage_handcompile,
           "fused": stage_fused, "profile": stage_profile}
 
 if __name__ == "__main__":
