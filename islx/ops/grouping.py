@@ -204,7 +204,7 @@ class _People:
             self._owner[(int(slot), int(r2[slot]))] = r1
         r1[-2:] += r2[-2:]
         r1[-2] += conn_score
-        self.rows.remove(r2)
+        del self.rows[self._pos(r2)]  # by identity; list.remove would == arrays
 
     def table(self) -> np.ndarray:
         """Prune weak rows (src/body.py:227-231) and stack."""
