@@ -50,12 +50,15 @@ def _nms_first_k_kernel(thre_ref, blurred_ref, idx_ref):
 
     # K sequential min-extractions: the k-th row-major peak is the smallest
     # remaining flat index; clear it and repeat. All K passes stay in VMEM.
-    cols = []
-    for _ in range(k):
-        m = jnp.min(cand, axis=(1, 2))                   # [C]
-        cols.append(m)
-        cand = jnp.where(cand == m[:, None, None], n, cand)
-    idx_ref[0] = jnp.stack(cols, axis=1)                 # [C,K]
+    # Every intermediate stays rank>=2 — Mosaic's layout pass aborts on
+    # rank-1 vectors (layout.h check: arr.size() >= layout_rank, 1 vs 2).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c, k), 1)
+    out = jnp.zeros((c, k), jnp.int32)
+    for kk in range(k):
+        m = jnp.min(jnp.min(cand, axis=2), axis=1, keepdims=True)  # [C,1]
+        out = jnp.where(lane == kk, m, out)              # broadcast-select
+        cand = jnp.where(cand == m[:, :, None], n, cand)
+    idx_ref[0] = out                                     # [C,K]
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

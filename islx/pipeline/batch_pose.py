@@ -151,15 +151,14 @@ class BatchedBodyPipeline:
             fused_peaks = two_stage_peaks
         self.fused_peaks = fused_peaks
         # pallas_nms: NMS+first-K peak selection as one Pallas VMEM pass
-        # (islx.ops.pallas_peaks) instead of the XLA rank/cumsum chain —
-        # ~28ms/step of HBM-resident s32 tensors + layout copies on the
-        # B=192 bench program. Auto: on for TPU (where it was measured),
-        # off elsewhere (CPU runs the kernel interpreted = slow). The
-        # ISLX_PALLAS_NMS env var overrides for A/B measurement.
+        # (islx.ops.pallas_peaks) instead of the XLA rank/cumsum chain.
+        # TPU-validated bit-exact (tools/tpu_validate.py nmspeaks) but
+        # MEASURED SLOWER than the XLA epilogue (225-238 vs 190-210 ms/64-
+        # frame body step, interleaved): the K sequential VMEM min-extracts
+        # cost more than the HBM rank tensor they avoid. Stays opt-in via
+        # ISLX_PALLAS_NMS as a validated alternate (docs/PERFORMANCE.md).
         if pallas_nms is None:
             env = os.environ.get("ISLX_PALLAS_NMS")
-            # default OFF until the compiled-on-TPU validation stage
-            # (tools/tpu_validate.py nmspeaks) passes on this build
             pallas_nms = env is not None and env not in ("0", "false")
         # pallas_call does not auto-partition under pjit — keep the XLA
         # selection when the program is sharded over a mesh
