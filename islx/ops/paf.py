@@ -13,6 +13,7 @@ inherently sequential and tiny (K<=32 candidates).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -173,7 +174,24 @@ def score_limbs_mxu(paf8: jax.Array, peaks_xy: jax.Array,
         ok = crit1 & (swdp > 0) & a_valid[:, None] & b_valid[None, :]
         return swdp, ok
 
-    swdp, ok = jax.lax.map(one, (limb_seq, map_idx))
+    # Limb sequencing, module-span-profiled at B=192 (tools/tpu_validate.py
+    # pafchunk): chunk=1 lax.map 78.4 ms/step vs chunk=4 87.1 / chunk=8 85.9
+    # — vmapping limbs into the map body materializes chunk-x bigger
+    # [B, chunk*K*K*mid, cells] one-hot intermediates in HBM and LOSES more
+    # than the while-iteration overhead it saves. Sequential map stays the
+    # default; ISLX_PAF_CHUNK (read at trace time) keeps the A/B honest on
+    # future shapes.
+    l = int(limb_seq.shape[0])
+    chunk = int(os.environ.get("ISLX_PAF_CHUNK", "1"))
+    if chunk <= 1 or l % chunk:
+        swdp, ok = jax.lax.map(one, (limb_seq, map_idx))
+    else:
+        swdp, ok = jax.lax.map(
+            lambda t: jax.vmap(one)(t),
+            (limb_seq.reshape(l // chunk, chunk, 2),
+             map_idx.reshape(l // chunk, chunk, 2)))
+        swdp = swdp.reshape(l, k, k)
+        ok = ok.reshape(l, k, k)
     return LimbScores(score=swdp, ok=ok)
 
 

@@ -14,6 +14,7 @@ static shapes); K=32 comfortably exceeds any realistic per-joint people count.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -81,6 +82,60 @@ def _first_k_masked(flat_mask: jax.Array, k: int,
     return jnp.where(q[None, :] <= count[:, None], idx.astype(jnp.int32), n)
 
 
+def _first_k_masked_rows(mask: jax.Array, k: int) -> jax.Array:
+    """Row-blocked exact equivalent of :func:`_first_k_masked`.
+
+    mask: [C, H, W] bool -> [C, K] ascending flat (y*W+x) indices of the
+    first k True positions per channel, sentinel H*W beyond the count.
+
+    The flat-rank chain materializes an s32 cumsum the size of the heatmaps
+    ([B,C,H,W] = 452MB on the B=192 bench program) and compare_all reads it
+    K times (~7GB of HBM traffic, ~21ms/step profiled). Rows are natural
+    blocks (W=128 = one lane tile): per-row counts reduce-fuse into the mask
+    producer, the row prefix is a [C,H] cumsum, each query binary-searches
+    H entries, and only the K hit rows ([C,K,W]) are gathered and locally
+    scanned. Exact for any peak layout — no per-block truncation (unlike the
+    old two-stage block top-k this replaces the second time around).
+    """
+    c, h, w = mask.shape
+    n = h * w
+    row_cnt = mask.astype(jnp.int32).sum(axis=2)            # [C,H] (fused)
+    row_pre = jnp.cumsum(row_cnt, axis=1)                   # inclusive [C,H]
+    q = jnp.arange(1, k + 1, dtype=jnp.int32)               # [K]
+    row = jax.vmap(lambda r: jnp.searchsorted(
+        r, q, side="left", method="compare_all"))(row_pre)  # [C,K] in 0..H
+    count = row_pre[:, -1]
+    rowc = jnp.minimum(row, h - 1)
+    before = jnp.take_along_axis(row_pre, jnp.maximum(rowc - 1, 0), axis=1)
+    excl = jnp.where(rowc > 0, before, 0)                   # peaks before row
+    target = q[None, :] - excl                              # 1-based in row
+    rows_b = jnp.take_along_axis(mask, rowc[:, :, None], axis=1)  # [C,K,W]
+    local = jnp.cumsum(rows_b.astype(jnp.int32), axis=2)
+    hit = (local == target[:, :, None]) & rows_b
+    wpos = jnp.argmax(hit, axis=2).astype(jnp.int32)        # first True
+    idx = rowc * w + wpos
+    return jnp.where(q[None, :] <= count[:, None], idx.astype(jnp.int32), n)
+
+
+def _select_peaks(mask_hwc: jax.Array, k: int,
+                  select: Optional[str] = None) -> jax.Array:
+    """[H,W,C] NMS mask -> [C,K] first-k flat indices (sentinel H*W).
+
+    Dispatches between the row-blocked selection (``"rows"``, default) and
+    the flat rank/cumsum chain (``"flat"``, kept for A/B profiling —
+    tools/tpu_validate.py peaksel). ``select=None`` reads
+    ``ISLX_PEAKS_SELECT`` at trace time; pipelines resolve it explicitly so
+    the mode lands in their jit cache keys (an env read inside an
+    already-cached inner jit is silently ignored)."""
+    if select is None:
+        select = os.environ.get("ISLX_PEAKS_SELECT", "rows")
+    h, w, c = mask_hwc.shape
+    if select == "flat":
+        return _first_k_masked(mask_hwc.transpose(2, 0, 1).reshape(c, h * w),
+                               k)
+    return _first_k_masked_rows(mask_hwc.transpose(2, 0, 1), k)
+
+
 @functools.lru_cache(maxsize=256)
 def _blurred_upsample_matrix(n_in: int, n_out: int, sigma: float,
                              truncate: float = 4.0):
@@ -130,7 +185,8 @@ def _pyramid_axis_fold(n_bucket: int, n_scaled: int, n8_padded: int,
 
 
 def find_peaks_pyramid(heat8s, folds, weights, thre1, k: int,
-                       two_stage: bool = True) -> Peaks:
+                       two_stage: bool = True,
+                       select: Optional[str] = None) -> Peaks:
     """Multi-scale fused peak extraction.
 
     heat8s:  per-scale NET-resolution heatmaps [h8p_s, w8p_s, C]
@@ -154,8 +210,8 @@ def find_peaks_pyramid(heat8s, folds, weights, thre1, k: int,
     h_out, w_out, c = blurred.shape
 
     mask = _nms_mask(blurred, thre1)
-    flat_mask = mask.transpose(2, 0, 1).reshape(c, h_out * w_out)
-    idx = _first_k_masked(flat_mask, k, two_stage)
+    del two_stage
+    idx = _select_peaks(mask, k, select)
     valid = idx < h_out * w_out
     idx = jnp.where(valid, idx, 0)
     y = idx // w_out
@@ -174,10 +230,11 @@ def find_peaks_pyramid(heat8s, folds, weights, thre1, k: int,
     return Peaks(xy=xy, score=score, valid=valid, count=count)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7))
 def find_peaks_fused(heat8: jax.Array, h_out: int, w_out: int,
                      thre1: float, k: int = 32, sigma: float = 3.0,
-                     two_stage: bool = True) -> Peaks:
+                     two_stage: bool = True,
+                     select: Optional[str] = None) -> Peaks:
     """Fused epilogue: NET-resolution heatmaps -> peaks at full resolution.
 
     heat8: [h8, w8, C] (joint channels only). Equivalent to
@@ -205,8 +262,8 @@ def find_peaks_fused(heat8: jax.Array, h_out: int, w_out: int,
     blurred = jnp.einsum("pw,owc->opc", fw, blurred, precision=hi)
 
     mask = _nms_mask(blurred, thre1)
-    flat_mask = mask.transpose(2, 0, 1).reshape(c, h_out * w_out)
-    idx = _first_k_masked(flat_mask, k, two_stage)
+    del two_stage
+    idx = _select_peaks(mask, k, select)
     valid = idx < h_out * w_out
     idx = jnp.where(valid, idx, 0)
     y = idx // w_out
@@ -273,9 +330,10 @@ def find_peaks_fused_batched(heat8: jax.Array, h_out: int, w_out: int,
     return Peaks(xy=xy, score=score, valid=valid, count=count)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def find_peaks(heatmap: jax.Array, thre1: float, k: int = 32,
-               sigma: float = 3.0, two_stage: bool = False) -> Peaks:
+               sigma: float = 3.0, two_stage: bool = False,
+               select: Optional[str] = None) -> Peaks:
     """heatmap: [H,W,C] averaged (unblurred) heatmaps -> Peaks over C channels.
 
     The caller passes only the joint channels (reference drops the background
@@ -285,10 +343,10 @@ def find_peaks(heatmap: jax.Array, thre1: float, k: int = 32,
     blurred = gaussian_blur(heatmap, sigma)
     mask = _nms_mask(blurred, thre1)                      # [H,W,C]
 
-    flat_mask = mask.transpose(2, 0, 1).reshape(c, h * w)
+    del two_stage
     # K smallest masked flat indices (row-major order, np.nonzero semantics);
     # invalid slots get index h*w (sentinel).
-    idx = _first_k_masked(flat_mask, k, two_stage)        # [C,K] ascending
+    idx = _select_peaks(mask, k, select)                  # [C,K] ascending
     valid = idx < h * w
     idx = jnp.where(valid, idx, 0)
     y = idx // w

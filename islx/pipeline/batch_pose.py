@@ -164,6 +164,11 @@ class BatchedBodyPipeline:
         # selection when the program is sharded over a mesh
         self.pallas_nms = (bool(pallas_nms) and self.fused_peaks
                            and mesh is None)
+        # first-K peak selection variant: "rows" (row-blocked two-level,
+        # default) | "flat" (full rank/cumsum chain). Resolved HERE so the
+        # mode is a static arg in this pipeline's programs (an env read
+        # inside find_peaks_fused's own jit cache would be ignored on reuse).
+        self.peaks_select = os.environ.get("ISLX_PEAKS_SELECT", "rows")
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
@@ -192,12 +197,14 @@ class BatchedBodyPipeline:
                 pk = jax.vmap(lambda h: find_peaks_fused(
                     h[:, :, :cfg.njoint - 1], hb, wb, thre1,
                     cfg.max_peaks,
-                    two_stage=self.two_stage_peaks))(heat8)
+                    two_stage=self.two_stage_peaks,
+                    select=self.peaks_select))(heat8)
             else:
                 heat = resize_cubic(heat8, hb, wb)   # x8, batched over B
                 pk = jax.vmap(lambda h: find_peaks(
                     h[:, :, :cfg.njoint - 1], thre1, cfg.max_peaks,
-                    two_stage=self.two_stage_peaks))(heat)
+                    two_stage=self.two_stage_peaks,
+                    select=self.peaks_select))(heat)
             return pk, paf8
 
         def multi_scale(params, frames, thre1):
@@ -246,7 +253,8 @@ class BatchedBodyPipeline:
 
             pk = jax.vmap(lambda *hs_: find_peaks_pyramid(
                 [h[:, :, :cfg.njoint - 1] for h in hs_], folds, w_heat,
-                thre1, cfg.max_peaks, self.two_stage_peaks))(*heat8s)
+                thre1, cfg.max_peaks, self.two_stage_peaks,
+                select=self.peaks_select))(*heat8s)
             hi = jax.lax.Precision.HIGHEST
             # averaged PAF, reconstructed on the bucket /8 grid (mxu
             # mode) or at full bucket resolution (exact mode)

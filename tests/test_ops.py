@@ -174,6 +174,24 @@ class TestPeaks:
             np.testing.assert_array_equal(got[ch, :len(want)], want)
             assert np.all(got[ch, len(want):] == n)
 
+    def test_first_k_masked_rows_matches_flat(self, rng):
+        """The row-blocked selection (production default) == the flat rank
+        chain for adversarial layouts: empty channels, single-row clusters
+        denser than K, peaks on row/column borders, very dense masks."""
+        from islx.ops.peaks import _first_k_masked, _first_k_masked_rows
+
+        c, h, w, k = 6, 37, 53, 16
+        mask = np.zeros((c, h, w), bool)
+        mask[1, 5, :40] = True                   # one row holds > K peaks
+        mask[2, [0, h - 1], [0, w - 1]] = True   # corners
+        mask[3] = rng.rand(h, w) < 0.4           # dense
+        mask[4, :, 0] = True                     # full first column
+        mask[5, h - 1, w - 1] = True             # single last element
+        want = np.asarray(_first_k_masked(
+            jnp.asarray(mask.reshape(c, h * w)), k))
+        got = np.asarray(_first_k_masked_rows(jnp.asarray(mask), k))
+        np.testing.assert_array_equal(got, want)
+
 
 def _oracle_hand_peak(map_ori, thre):
     """numpy oracle of reference hand CC peak (src/hand.py:59-73 semantics),

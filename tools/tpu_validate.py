@@ -13,6 +13,7 @@ Stages (default: all):
             without lax.map chunking (TODO: blowup fix verification)
   fused     time the body program with fused vs unfused peak epilogue
   profile   capture a jax.profiler trace of one bench window -> /tmp/islx_trace
+  peaksel   module-span A/B: row-blocked vs flat-rank peak selection
 """
 from __future__ import annotations
 
@@ -179,6 +180,91 @@ def stage_fused():
               f"(fetch-inclusive)")
 
 
+def _module_spans_ms(trace_dir):
+    """median per-step module span (ms) per distinct XLA module in a trace."""
+    from collections import defaultdict
+
+    from tools.trace_summary import parse_xspace
+
+    pbs = []
+    for dirpath, _, files in os.walk(trace_dir):
+        pbs += [os.path.join(dirpath, f) for f in files
+                if f.endswith(".xplane.pb")]
+    spans = defaultdict(list)
+    for name, lines, meta in parse_xspace(open(max(
+            pbs, key=os.path.getmtime), "rb").read()):
+        if "TPU" not in name.upper():
+            continue
+        for mid, dur in lines.get("XLA Modules", []):
+            spans[meta.get(mid, f"id{mid}")].append(dur / 1e9)
+    return {k: float(np.median(v)) for k, v in spans.items()}
+
+
+def stage_peaksel():
+    """Module-span (relay-immune) A/B of the peak-selection variants inside
+    the production body program at bench shapes: row-blocked two-level
+    selection (default) vs the flat rank/cumsum chain. ISLX_PEAKS_SELECT is
+    read at trace time, and each pipeline instance traces its own program,
+    so both variants compile distinct modules in one process."""
+    import jax.profiler
+
+    from islx.core.config import PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import BatchedBodyPipeline
+
+    rng = np.random.RandomState(0)
+    B = int(os.environ.get("ISLX_PEAKSEL_B", "192"))
+    frames = (rng.rand(B, 184, 128, 3) * 255).astype(np.uint8)
+    params = cpm.init_params("body25")
+    for mode in ("rows", "flat"):
+        os.environ["ISLX_PEAKS_SELECT"] = mode
+        pipe = BatchedBodyPipeline(
+            params, "body25", PoseConfig(model_type="body25", max_peaks=16),
+            compute_dtype=jnp.bfloat16)
+        pipe.device_step(frames)  # compile outside the trace
+        tdir = f"/tmp/islx_peaksel_{mode}"
+        with jax.profiler.trace(tdir):
+            for i in range(10):
+                frames[0, 0, i, 0] ^= 1   # defeat relay memoization
+                np.asarray(pipe.device_step(frames))
+        for name, ms in sorted(_module_spans_ms(tdir).items()):
+            if "jit" in name:
+                print(f"[peaksel] {mode}: {ms:.1f} ms/step "
+                      f"(B={B}, module {name[:40]})")
+    os.environ.pop("ISLX_PEAKS_SELECT", None)
+
+
+def stage_pafchunk():
+    """Module-span A/B of PAF limb sequencing (ISLX_PAF_CHUNK = vmapped
+    limbs per lax.map step) inside the production body program."""
+    import jax.profiler
+
+    from islx.core.config import PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import BatchedBodyPipeline
+
+    rng = np.random.RandomState(0)
+    B = int(os.environ.get("ISLX_PEAKSEL_B", "192"))
+    frames = (rng.rand(B, 184, 128, 3) * 255).astype(np.uint8)
+    params = cpm.init_params("body25")
+    for chunk in ("1", "4", "8"):
+        os.environ["ISLX_PAF_CHUNK"] = chunk
+        pipe = BatchedBodyPipeline(
+            params, "body25", PoseConfig(model_type="body25", max_peaks=16),
+            compute_dtype=jnp.bfloat16)
+        pipe.device_step(frames)  # compile outside the trace
+        tdir = f"/tmp/islx_pafchunk_{chunk}"
+        with jax.profiler.trace(tdir):
+            for i in range(10):
+                frames[0, 0, i, 0] ^= 1
+                np.asarray(pipe.device_step(frames))
+        for name, ms in sorted(_module_spans_ms(tdir).items()):
+            if "jit" in name:
+                print(f"[pafchunk] chunk={chunk}: {ms:.1f} ms/step "
+                      f"(B={B}, module {name[:40]})")
+    os.environ.pop("ISLX_PAF_CHUNK", None)
+
+
 def stage_profile():
     os.environ["BENCH_PROFILE"] = "/tmp/islx_trace"
     os.environ.setdefault("BENCH_WATCHDOG_S", "1200")
@@ -191,7 +277,8 @@ def stage_profile():
 
 STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
           "handcompile": stage_handcompile,
-          "fused": stage_fused, "profile": stage_profile}
+          "fused": stage_fused, "profile": stage_profile,
+          "peaksel": stage_peaksel, "pafchunk": stage_pafchunk}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["kernels", "handcompile", "fused"]
