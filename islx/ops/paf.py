@@ -195,6 +195,72 @@ def score_limbs_mxu(paf8: jax.Array, peaks_xy: jax.Array,
     return LimbScores(score=swdp, ok=ok)
 
 
+def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
+                     peaks_valid: jax.Array, limb_seq: jax.Array,
+                     map_idx: jax.Array, stride: int = 8,
+                     thre2: float = 0.05, mid_num: int = 10,
+                     orig_h: jax.Array | float = None) -> LimbScores:
+    """Per-cell PAF scoring: the same /8-grid sampling as
+    :func:`score_limbs_mxu` regrouped by CELL instead of by sample.
+
+    The 10 line samples of every pair land on a tiny /8 grid (a few hundred
+    cells), so the integral needs only (a) ``count[pair, cell]`` — how many
+    samples hit each cell — and (b) the rank-2 score surface
+    ``S[pair, cell] = unit_x paf_x[cell] + unit_y paf_y[cell]``:
+
+        mean score = sum_c count * S / mid        (same f32 terms, regrouped)
+        crit1 hits = sum_c count * (S > thre2)    (EXACTLY the mxu count:
+                                                   same per-sample booleans)
+
+    This removes the [K*K*mid, cells] x [cells, P] one-hot matmul entirely
+    (~100x fewer FLOPs than mxu); what remains is elementwise work on
+    [K*K, cells]. swdp can differ from mxu only by f32 summation order.
+    """
+    if orig_h is None:
+        orig_h = paf8.shape[0] * stride
+    orig_h = jnp.asarray(orig_h, jnp.float32)
+    h8, w8 = paf8.shape[0], paf8.shape[1]
+    cells = h8 * w8
+    k = peaks_xy.shape[1]
+    paf_flat = paf8.reshape(cells, -1).astype(jnp.float32)
+
+    def one(args):
+        limb, chans = args
+        a_xy = peaks_xy[limb[0]].astype(jnp.float32)      # [K,2]
+        b_xy = peaks_xy[limb[1]].astype(jnp.float32)
+        a_valid, b_valid = peaks_valid[limb[0]], peaks_valid[limb[1]]
+        vec = b_xy[None, :, :] - a_xy[:, None, :]          # [K,K,2]
+        norm = jnp.maximum(jnp.sqrt((vec * vec).sum(-1)), 0.001)
+        unit = (vec / norm[..., None]).reshape(k * k, 2)
+
+        t = jnp.linspace(0.0, 1.0, mid_num)
+        pts = (a_xy[:, None, None, :]
+               + vec[:, :, None, :] * t[None, None, :, None])
+        # full-res point -> nearest /8 cell (same mapping as score_limbs_mxu)
+        cx = jnp.clip(jnp.rint((pts[..., 0] + 0.5) / stride - 0.5),
+                      0, w8 - 1).astype(jnp.int32)
+        cy = jnp.clip(jnp.rint((pts[..., 1] + 0.5) / stride - 0.5),
+                      0, h8 - 1).astype(jnp.int32)
+        cell = (cy * w8 + cx).reshape(k * k, mid_num)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cells), 2)
+        count = (cell[:, :, None] == iota).sum(1)          # [K*K, cells] s32
+        countf = count.astype(jnp.float32)
+
+        ps = paf_flat[:, chans]                            # [cells, 2]
+        s_cell = unit @ ps.T                               # [K*K, cells]
+        score_sum = (countf * s_cell).sum(-1)
+        hits = jnp.where(s_cell > thre2, count, 0).sum(-1)
+        prior = jnp.minimum(0.5 * orig_h / norm - 1.0, 0.0).reshape(k * k)
+        swdp = score_sum / mid_num + prior
+        crit1 = hits > 0.8 * mid_num
+        ok = (crit1 & (swdp > 0)
+              & (a_valid[:, None] & b_valid[None, :]).reshape(k * k))
+        return swdp.reshape(k, k), ok.reshape(k, k)
+
+    swdp, ok = jax.lax.map(one, (limb_seq, map_idx))
+    return LimbScores(score=swdp, ok=ok)
+
+
 class CompactConnections(NamedTuple):
     """Per-limb candidate pairs, pre-sorted on device.
 

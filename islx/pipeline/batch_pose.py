@@ -29,7 +29,7 @@ from islx.ops import grouping
 from islx.ops.hand_peaks import (find_hand_peaks, find_hand_peaks_fast,
                                  find_hand_peaks_refine)
 from islx.ops.paf import (LIMB_TABLES, compact_connections, score_limbs,
-                          score_limbs_mxu)
+                          score_limbs_cell, score_limbs_mxu)
 from islx.ops.peaks import (find_peaks, find_peaks_fused,
                             find_peaks_fused_batched)
 from islx.ops.preprocess import pad_amounts
@@ -258,7 +258,7 @@ class BatchedBodyPipeline:
             hi = jax.lax.Precision.HIGHEST
             # averaged PAF, reconstructed on the bucket /8 grid (mxu
             # mode) or at full bucket resolution (exact mode)
-            mats = gfolds if self.paf_mode == "mxu" \
+            mats = gfolds if self.paf_mode in ("mxu", "cell") \
                 else [f[1] for f in folds]
             paf_avg = None
             for p8, (gh, gw) in zip(paf8s, mats):
@@ -275,8 +275,10 @@ class BatchedBodyPipeline:
                 pk, paf_in = multi_scale(params, frames, thre1)
             else:
                 pk, paf_in = single_scale(params, frames, thre1)
-            if self.paf_mode == "mxu":
-                ls_fn = lambda p8, xy, v: score_limbs_mxu(  # noqa: E731
+            if self.paf_mode in ("mxu", "cell"):
+                fn = score_limbs_cell if self.paf_mode == "cell" \
+                    else score_limbs_mxu
+                ls_fn = lambda p8, xy, v: fn(  # noqa: E731
                     p8, xy, v, limb_seq, map_idx, cfg.stride, cfg.thre2,
                     cfg.mid_num, orig_h=jnp.float32(hb))
             else:

@@ -80,6 +80,17 @@ def test_paf_mxu_matches_exact_on_constant_channels(rng):
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(exact.ok), np.asarray(mxu.ok))
 
+    # the per-cell regrouping samples identical /8 cells: crit1 is exactly
+    # the mxu count and swdp differs only by f32 summation order
+    cell = P.score_limbs_cell(jnp.asarray(paf8), jnp.asarray(xy),
+                              jnp.asarray(valid),
+                              jnp.asarray(P.LIMB_SEQ_BODY25),
+                              jnp.asarray(P.MAP_IDX_BODY25), stride, 0.05, 10,
+                              orig_h=float(h8 * stride))
+    np.testing.assert_allclose(np.asarray(cell.score), np.asarray(mxu.score),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cell.ok), np.asarray(mxu.ok))
+
 
 def test_batched_hand_multiscale_averaging(rng):
     """The 4-scale batched hand branch averages per-scale heatmaps with the

@@ -265,6 +265,36 @@ def stage_pafchunk():
     os.environ.pop("ISLX_PAF_CHUNK", None)
 
 
+def stage_pafmode():
+    """Module-span A/B of PAF scoring formulations inside the production
+    body program: per-sample one-hot matmul (mxu) vs per-cell regrouping
+    (cell). Equality is pinned in tests/test_batch_pipeline.py."""
+    import jax.profiler
+
+    from islx.core.config import PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import BatchedBodyPipeline
+
+    rng = np.random.RandomState(0)
+    B = int(os.environ.get("ISLX_PEAKSEL_B", "192"))
+    frames = (rng.rand(B, 184, 128, 3) * 255).astype(np.uint8)
+    params = cpm.init_params("body25")
+    for mode in ("cell", "mxu"):
+        pipe = BatchedBodyPipeline(
+            params, "body25", PoseConfig(model_type="body25", max_peaks=16),
+            compute_dtype=jnp.bfloat16, paf_mode=mode)
+        pipe.device_step(frames)  # compile outside the trace
+        tdir = f"/tmp/islx_pafmode_{mode}"
+        with jax.profiler.trace(tdir):
+            for i in range(10):
+                frames[0, 0, i, 0] ^= 1
+                np.asarray(pipe.device_step(frames))
+        for name, ms in sorted(_module_spans_ms(tdir).items()):
+            if "jit_program" in name:
+                print(f"[pafmode] {mode}: {ms:.1f} ms/step "
+                      f"(B={B}, module {name[:40]})")
+
+
 def stage_profile():
     os.environ["BENCH_PROFILE"] = "/tmp/islx_trace"
     os.environ.setdefault("BENCH_WATCHDOG_S", "1200")
@@ -278,7 +308,8 @@ def stage_profile():
 STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
           "handcompile": stage_handcompile,
           "fused": stage_fused, "profile": stage_profile,
-          "peaksel": stage_peaksel, "pafchunk": stage_pafchunk}
+          "peaksel": stage_peaksel, "pafchunk": stage_pafchunk,
+          "pafmode": stage_pafmode}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["kernels", "handcompile", "fused"]
