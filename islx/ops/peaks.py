@@ -43,14 +43,21 @@ def _nms_mask(b: jax.Array, thre1: float) -> jax.Array:
     """4-neighbour plateau NMS (reference semantics: src/body.py:90-100).
 
     b: [H,W,C] blurred heatmaps. Out-of-image neighbours compare as 0.
+
+    Formulated as two 3-wide max-pools instead of four shifted copies:
+    ``b >= max3_vertical(b)`` ⟺ ``b >= up & b >= down`` (b >= b always),
+    and the -inf pool padding is equivalent to the reference's zero padding
+    because ``b > thre1`` with thre1 > 0 (reference default 0.1,
+    src/body.py:44) already implies ``b >= 0`` at borders. The shifted-copy
+    form profiled at ~5.4ms/step on the B=192 bench program (XLA
+    materialized two f32[B,H-1,W,C]-sized tuples); pools fuse.
     """
-    zrow = jnp.zeros_like(b[:1])
-    zcol = jnp.zeros_like(b[:, :1])
-    up = jnp.concatenate([zrow, b[:-1]], axis=0)      # map_left in reference
-    down = jnp.concatenate([b[1:], zrow], axis=0)     # map_right
-    left = jnp.concatenate([zcol, b[:, :-1]], axis=1)  # map_up
-    right = jnp.concatenate([b[:, 1:], zcol], axis=1)  # map_down
-    return (b >= up) & (b >= down) & (b >= left) & (b >= right) & (b > thre1)
+    neg = jnp.array(-jnp.inf, b.dtype)
+    mv = jax.lax.reduce_window(b, neg, jax.lax.max, (3, 1, 1), (1, 1, 1),
+                               "SAME")
+    mh = jax.lax.reduce_window(b, neg, jax.lax.max, (1, 3, 1), (1, 1, 1),
+                               "SAME")
+    return (b >= mv) & (b >= mh) & (b > thre1)
 
 
 def _first_k_masked(flat_mask: jax.Array, k: int,
