@@ -129,7 +129,7 @@ class BatchedBodyPipeline:
     def __init__(self, params: cpm.Params, model_type: str = "body25",
                  cfg: Optional[PoseConfig] = None,
                  compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48,
-                 paf_mode: str = "mxu", two_stage_peaks: bool = True,
+                 paf_mode: str = "cell", two_stage_peaks: bool = True,
                  fused_peaks: Optional[bool] = None,
                  pallas_nms: Optional[bool] = None):
         # weights pre-cast to the compute dtype: the per-step f32->bf16
@@ -141,7 +141,10 @@ class BatchedBodyPipeline:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.top_m = top_m    # device-sorted connection candidates per limb
-        self.paf_mode = paf_mode  # 'mxu' (gather-free, /8 samples) | 'exact'
+        # 'cell' (per-cell regrouped /8 samples, default — measured 73.7 vs
+        # 78.4 ms/step against 'mxu' at B=192, tools/tpu_validate.py pafmode)
+        # | 'mxu' (gather-free one-hot matmul) | 'exact' (full-res parity)
+        self.paf_mode = paf_mode
         self.two_stage_peaks = two_stage_peaks
         # fused_peaks: blur folded into the x8 upsample + peak-score
         # reconstruction (ops.peaks.find_peaks_fused) — the production
