@@ -261,6 +261,88 @@ def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
     return LimbScores(score=swdp, ok=ok)
 
 
+def score_limbs_fused(paf8: jax.Array, peaks_xy: jax.Array,
+                      peaks_valid: jax.Array, limb_seq: jax.Array,
+                      map_idx: jax.Array, stride: int = 8,
+                      thre2: float = 0.05, mid_num: int = 10,
+                      orig_h: jax.Array | float = None,
+                      impl: str = "reduce") -> LimbScores:
+    """Materialization-free per-cell PAF scoring (same /8 sampling as
+    :func:`score_limbs_mxu` / :func:`score_limbs_cell`).
+
+    Both earlier /8 formulations write [K*K, cells]-shaped intermediates to
+    HBM per limb (mxu: the one-hot matmul operand; cell: the count matrix AND
+    the score surface — ~2x140MB each at the B=192 bench shapes, the
+    dominant PAF cost). Here the per-sample value is recovered directly:
+
+        score_mid[p, m] = S[p, cell[p, m]]
+                        = sum_c (cell[p,m] == c) * (ux[p] paf_x[c] + uy[p] paf_y[c])
+
+    ``impl="reduce"``: that sum is ONE fused compare-select-reduce over the
+    (tiny) cell axis — every operand is elementwise-producible, the only
+    output is [K*K, mid], and XLA materializes nothing larger. Adding 0.0
+    for the 712 non-matching cells is exact in f32, so score_mid is
+    BIT-IDENTICAL to the mxu one-hot matmul's sampled values — crit1 and ok
+    are exactly the mxu/cell booleans.
+
+    ``impl="take"``: the same values via a [K*K*mid]-index gather from the
+    713-entry /8 table (measures XLA:TPU's small-table gather lowering
+    against the dense reduction).
+
+    With no big intermediates the limb axis is vmapped (not lax.map'd):
+    the 24-iteration sequential while disappears from the program.
+    """
+    if orig_h is None:
+        orig_h = paf8.shape[0] * stride
+    orig_h = jnp.asarray(orig_h, jnp.float32)
+    h8, w8 = paf8.shape[0], paf8.shape[1]
+    cells = h8 * w8
+    k = peaks_xy.shape[1]
+    paf_flat = paf8.reshape(cells, -1).astype(jnp.float32)
+
+    def one(limb, chans):
+        a_xy = peaks_xy[limb[0]].astype(jnp.float32)      # [K,2]
+        b_xy = peaks_xy[limb[1]].astype(jnp.float32)
+        a_valid, b_valid = peaks_valid[limb[0]], peaks_valid[limb[1]]
+        vec = b_xy[None, :, :] - a_xy[:, None, :]          # [K,K,2]
+        norm = jnp.maximum(jnp.sqrt((vec * vec).sum(-1)), 0.001)
+        unit = (vec / norm[..., None]).reshape(k * k, 2)
+
+        t = jnp.linspace(0.0, 1.0, mid_num)
+        pts = (a_xy[:, None, None, :]
+               + vec[:, :, None, :] * t[None, None, :, None])
+        # full-res point -> nearest /8 cell (same mapping as score_limbs_mxu)
+        cx = jnp.clip(jnp.rint((pts[..., 0] + 0.5) / stride - 0.5),
+                      0, w8 - 1).astype(jnp.int32)
+        cy = jnp.clip(jnp.rint((pts[..., 1] + 0.5) / stride - 0.5),
+                      0, h8 - 1).astype(jnp.int32)
+        cell = (cy * w8 + cx).reshape(k * k, mid_num)
+
+        ps = paf_flat[:, chans]                            # [cells, 2]
+        if impl == "take":
+            sampled = jnp.take(ps, cell.reshape(-1), axis=0)
+            score_mid = (sampled.reshape(k * k, mid_num, 2)
+                         * unit[:, None, :]).sum(-1)       # [K*K, mid]
+        else:
+            # S[p,c] built lazily inside the reduction: one consumer per
+            # elementwise producer, so the whole chain loop-fuses
+            s = (unit[:, 0:1] * ps[None, :, 0]
+                 + unit[:, 1:2] * ps[None, :, 1])          # [K*K, cells]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cells), 2)
+            score_mid = jnp.where(cell[:, :, None] == iota,
+                                  s[:, None, :], 0.0).sum(-1)
+
+        prior = jnp.minimum(0.5 * orig_h / norm - 1.0, 0.0).reshape(k * k)
+        swdp = score_mid.sum(-1) / mid_num + prior
+        crit1 = (score_mid > thre2).sum(-1) > 0.8 * mid_num
+        ok = (crit1 & (swdp > 0)
+              & (a_valid[:, None] & b_valid[None, :]).reshape(k * k))
+        return swdp.reshape(k, k), ok.reshape(k, k)
+
+    swdp, ok = jax.vmap(one)(limb_seq, map_idx)
+    return LimbScores(score=swdp, ok=ok)
+
+
 class CompactConnections(NamedTuple):
     """Per-limb candidate pairs, pre-sorted on device.
 

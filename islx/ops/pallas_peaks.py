@@ -61,6 +61,65 @@ def _nms_first_k_kernel(thre_ref, blurred_ref, idx_ref):
     idx_ref[0] = out                                     # [C,K]
 
 
+def _nms_mask_kernel(thre_ref, blurred_ref, mask_ref, rowcnt_ref):
+    """One frame's [C,H,W] blurred maps -> u8 NMS mask + per-row counts.
+
+    Unlike :func:`_nms_first_k_kernel` this keeps the (sequential,
+    measured-slower) K min-extractions OUT of the kernel: only the
+    bandwidth-bound part moves to VMEM — the XLA epilogue's two f32
+    reduce-window pools + mask compare + row-count reduce re-read the
+    blurred maps ~5x from HBM (~7ms/step on the B=192 body program); here
+    they are read once and only the u8 mask + s32 counts go back.
+    """
+    b = blurred_ref[0]                                   # [C,H,W] f32
+    thre = thre_ref[0, 0]
+    # 4-neighbour plateau NMS, out-of-image neighbours compare as 0
+    # (islx.ops.peaks._nms_mask semantics; exact for any thre1 > 0)
+    zrow = jnp.zeros_like(b[:, :1, :])
+    zcol = jnp.zeros_like(b[:, :, :1])
+    up = jnp.concatenate([zrow, b[:, :-1, :]], axis=1)
+    down = jnp.concatenate([b[:, 1:, :], zrow], axis=1)
+    left = jnp.concatenate([zcol, b[:, :, :-1]], axis=2)
+    right = jnp.concatenate([b[:, :, 1:], zcol], axis=2)
+    mask = ((b >= up) & (b >= down) & (b >= left) & (b >= right)
+            & (b > thre))
+    mask_ref[0] = mask.astype(jnp.uint8)
+    rowcnt_ref[0] = mask.astype(jnp.int32).sum(axis=2)   # [C,H]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def nms_mask_rows(blurred_bchw: jax.Array, thre1: jax.Array,
+                  interpret: bool = False):
+    """blurred [B,C,H,W] f32 -> (mask u8 [B,C,H,W], row_cnt s32 [B,C,H]).
+
+    Drop-in for ``_nms_mask`` + the row-count reduce of
+    ``_first_k_masked_rows`` (islx.ops.peaks); the selection itself stays
+    the XLA row-blocked chain.
+    """
+    bsz, c, h, w = blurred_bchw.shape
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    thre = jnp.reshape(thre1.astype(jnp.float32), (1, 1))
+    return pl.pallas_call(
+        _nms_mask_kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=mem),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((1, c, h), lambda i: (i, 0, 0),
+                         memory_space=mem),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((bsz, c, h, w), jnp.uint8),
+                   jax.ShapeDtypeStruct((bsz, c, h), jnp.int32)],
+        interpret=interpret,
+    )(thre, blurred_bchw)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def nms_first_k(blurred_bchw: jax.Array, thre1: jax.Array, k: int,
                 interpret: bool = False) -> jax.Array:

@@ -89,7 +89,8 @@ def _first_k_masked(flat_mask: jax.Array, k: int,
     return jnp.where(q[None, :] <= count[:, None], idx.astype(jnp.int32), n)
 
 
-def _first_k_masked_rows(mask: jax.Array, k: int) -> jax.Array:
+def _first_k_masked_rows(mask: jax.Array, k: int,
+                         row_cnt: Optional[jax.Array] = None) -> jax.Array:
     """Row-blocked exact equivalent of :func:`_first_k_masked`.
 
     mask: [C, H, W] bool -> [C, K] ascending flat (y*W+x) indices of the
@@ -106,7 +107,8 @@ def _first_k_masked_rows(mask: jax.Array, k: int) -> jax.Array:
     """
     c, h, w = mask.shape
     n = h * w
-    row_cnt = mask.astype(jnp.int32).sum(axis=2)            # [C,H] (fused)
+    if row_cnt is None:
+        row_cnt = (mask != 0).astype(jnp.int32).sum(axis=2)  # [C,H] (fused)
     row_pre = jnp.cumsum(row_cnt, axis=1)                   # inclusive [C,H]
     q = jnp.arange(1, k + 1, dtype=jnp.int32)               # [K]
     row = jax.vmap(lambda r: jnp.searchsorted(
@@ -116,8 +118,8 @@ def _first_k_masked_rows(mask: jax.Array, k: int) -> jax.Array:
     before = jnp.take_along_axis(row_pre, jnp.maximum(rowc - 1, 0), axis=1)
     excl = jnp.where(rowc > 0, before, 0)                   # peaks before row
     target = q[None, :] - excl                              # 1-based in row
-    rows_b = jnp.take_along_axis(mask, rowc[:, :, None], axis=1)  # [C,K,W]
-    local = jnp.cumsum(rows_b.astype(jnp.int32), axis=2)
+    rows_b = jnp.take_along_axis(mask, rowc[:, :, None], axis=1) != 0
+    local = jnp.cumsum(rows_b.astype(jnp.int32), axis=2)    # [C,K,W]
     hit = (local == target[:, :, None]) & rows_b
     wpos = jnp.argmax(hit, axis=2).astype(jnp.int32)        # first True
     idx = rowc * w + wpos
@@ -289,23 +291,32 @@ def find_peaks_fused(heat8: jax.Array, h_out: int, w_out: int,
     return Peaks(xy=xy, score=score, valid=valid, count=count)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 2, 4, 5, 6, 7))
 def find_peaks_fused_batched(heat8: jax.Array, h_out: int, w_out: int,
                              thre1, k: int = 32, sigma: float = 3.0,
-                             interpret: Optional[bool] = None) -> Peaks:
-    """Batched ``find_peaks_fused`` with the NMS+first-K selection as ONE
-    Pallas VMEM pass (islx.ops.pallas_peaks.nms_first_k).
+                             interpret: Optional[bool] = None,
+                             kernel: str = "select") -> Peaks:
+    """Batched ``find_peaks_fused`` with the NMS epilogue as a Pallas VMEM
+    pass (islx.ops.pallas_peaks).
 
     heat8: [B,h8,w8,C] -> batched Peaks. Same contract as
     ``jax.vmap(find_peaks_fused)`` — the blur∘upsample matmul pair and the
-    peak-score reconstruction are the identical einsums; only the selection
-    between them changes implementation (the XLA rank/cumsum chain
-    materialized [B,C,H,W] s32 + three layout copies in HBM — ~28ms/step on
-    the B=192 bench program; the kernel reads the blurred maps once).
+    peak-score reconstruction are the identical einsums; only the NMS/
+    selection between them changes implementation:
+
+    * ``kernel="mask"`` (production TPU default via pipelines): only the
+      bandwidth-bound part runs in VMEM (nms_mask_rows: one read of the
+      blurred maps -> u8 mask + row counts, replacing two f32 reduce-window
+      pools + mask + row-count reduce that re-read them ~5x from HBM);
+      selection stays the exact XLA row-blocked chain.
+    * ``kernel="select"``: the full NMS+first-K kernel (nms_first_k) — the
+      K sequential VMEM min-extractions measured SLOWER than the XLA
+      epilogue (docs/PERFORMANCE.md); kept as a validated alternate.
+
     Positions can differ from the unfused path only where f32 rounding flips
     a near-exact NMS tie (same caveat as find_peaks_fused).
     """
-    from islx.ops.pallas_peaks import nms_first_k
+    from islx.ops.pallas_peaks import nms_first_k, nms_mask_rows
     from islx.ops.resize import _resize_matrix
 
     bsz, h8, w8, c = heat8.shape
@@ -319,8 +330,14 @@ def find_peaks_fused_batched(heat8: jax.Array, h_out: int, w_out: int,
     if interpret is None:  # Mosaic kernels only compile for TPU
         interpret = jax.default_backend() != "tpu"
     n = h_out * w_out
-    idx = nms_first_k(blurred, jnp.asarray(thre1, jnp.float32), k,
-                      interpret=interpret)                      # [B,C,K]
+    if kernel == "mask":
+        mask, row_cnt = nms_mask_rows(
+            blurred, jnp.asarray(thre1, jnp.float32), interpret=interpret)
+        idx = jax.vmap(lambda m, rc: _first_k_masked_rows(m, k, rc))(
+            mask, row_cnt)                                      # [B,C,K]
+    else:
+        idx = nms_first_k(blurred, jnp.asarray(thre1, jnp.float32), k,
+                          interpret=interpret)                  # [B,C,K]
     valid = idx < n
     idx = jnp.where(valid, idx, 0)
     y = idx // w_out

@@ -29,7 +29,8 @@ from islx.ops import grouping
 from islx.ops.hand_peaks import (find_hand_peaks, find_hand_peaks_fast,
                                  find_hand_peaks_refine)
 from islx.ops.paf import (LIMB_TABLES, compact_connections, score_limbs,
-                          score_limbs_cell, score_limbs_mxu)
+                          score_limbs_cell, score_limbs_fused,
+                          score_limbs_mxu)
 from islx.ops.peaks import (find_peaks, find_peaks_fused,
                             find_peaks_fused_batched)
 from islx.ops.preprocess import pad_amounts
@@ -109,18 +110,32 @@ def detect_hand_boxes(results, hb: int, wb: int, orig_hw: Tuple[int, int],
     return boxes
 
 
-def _pack_body(pk, cc) -> jax.Array:
+def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
     """Pack the peak + connection tables into ONE flat f32 buffer: each
     separate device->host fetch pays a fixed RPC round trip on tunneled TPU
-    runtimes, so every program returns a single (small) download."""
-    return jnp.concatenate([
+    runtimes, so every program returns a single (small) download.
+
+    mode 'nook' (default): the ok plane is folded into the score as a -1e30
+    sentinel (host recovers ok = score > -1e30) — the pred linearization
+    fusion was ~2.7ms/step on the B=192 body program for a bit that is
+    derivable. 'flat' ships all six planes (kept for A/B)."""
+    parts = [
         pk.xy.astype(jnp.float32).reshape(-1),
         pk.score.reshape(-1),
         pk.count.astype(jnp.float32).reshape(-1),
         cc.pair.astype(jnp.float32).reshape(-1),
-        cc.score.reshape(-1),
-        cc.ok.astype(jnp.float32).reshape(-1),
-    ])
+    ]
+    if mode == "nook":
+        parts.append(jnp.where(cc.ok, cc.score, -1e30).reshape(-1))
+    else:
+        parts += [cc.score.reshape(-1),
+                  cc.ok.astype(jnp.float32).reshape(-1)]
+    return jnp.concatenate(parts)
+
+
+def _body_pack_len(b: int, c: int, k: int, l: int, m: int,
+                   mode: str = "nook") -> int:
+    return b * (c * k * 3 + c + (2 if mode == "nook" else 3) * l * m)
 
 
 class BatchedBodyPipeline:
@@ -131,7 +146,8 @@ class BatchedBodyPipeline:
                  compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48,
                  paf_mode: str = "cell", two_stage_peaks: bool = True,
                  fused_peaks: Optional[bool] = None,
-                 pallas_nms: Optional[bool] = None):
+                 pallas_nms: Optional[bool] = None,
+                 pallas_mask: Optional[bool] = None):
         # weights pre-cast to the compute dtype: the per-step f32->bf16
         # convert inside the program is pure HBM traffic (see cpm.cast_params)
         self.params = _device_resident(
@@ -141,9 +157,12 @@ class BatchedBodyPipeline:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.top_m = top_m    # device-sorted connection candidates per limb
-        # 'cell' (per-cell regrouped /8 samples, default — measured 73.7 vs
-        # 78.4 ms/step against 'mxu' at B=192, tools/tpu_validate.py pafmode)
-        # | 'mxu' (gather-free one-hot matmul) | 'exact' (full-res parity)
+        # /8-grid PAF scoring variants (tools/tpu_validate.py pafmode):
+        # 'fused' (materialization-free compare-reduce, vmapped limbs) |
+        # 'take' (same values via small-table gather) | 'cell' (per-cell
+        # count matrix) | 'mxu' (one-hot matmul) | 'exact' (full-res parity).
+        # All /8 modes produce identical crit1/ok booleans; swdp differs
+        # only by f32 summation order (tests/test_batch_pipeline.py).
         self.paf_mode = paf_mode
         self.two_stage_peaks = two_stage_peaks
         # fused_peaks: blur folded into the x8 upsample + peak-score
@@ -167,11 +186,29 @@ class BatchedBodyPipeline:
         # selection when the program is sharded over a mesh
         self.pallas_nms = (bool(pallas_nms) and self.fused_peaks
                            and mesh is None)
+        # pallas_mask: ONLY the NMS mask + row counts as a Pallas VMEM pass
+        # (islx.ops.pallas_peaks.nms_mask_rows), selection stays the XLA
+        # row-blocked chain. The XLA epilogue re-reads the blurred maps ~5x
+        # from HBM (two f32 reduce-window pools + mask + row counts); the
+        # kernel reads them once. TPU default — measured 66.6 vs 70.1
+        # ms/step on the B=192 body program with assembled-output equality
+        # (tools/tpu_validate.py nmsmask); ISLX_PALLAS_MASK=0 disables.
+        if pallas_mask is None:
+            env = os.environ.get("ISLX_PALLAS_MASK")
+            if env is None:
+                pallas_mask = jax.default_backend() == "tpu"
+            else:
+                pallas_mask = env not in ("0", "false")
+        self.pallas_mask = (bool(pallas_mask) and self.fused_peaks
+                            and mesh is None and not self.pallas_nms)
         # first-K peak selection variant: "rows" (row-blocked two-level,
         # default) | "flat" (full rank/cumsum chain). Resolved HERE so the
         # mode is a static arg in this pipeline's programs (an env read
         # inside find_peaks_fused's own jit cache would be ignored on reuse).
         self.peaks_select = os.environ.get("ISLX_PEAKS_SELECT", "rows")
+        # result-buffer packing: 'nook' (ok folded into a score sentinel,
+        # default) | 'flat' (all six planes, A/B via ISLX_PACK_MODE)
+        self.pack_mode = os.environ.get("ISLX_PACK_MODE", "nook")
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
@@ -188,12 +225,13 @@ class BatchedBodyPipeline:
         def single_scale(params, frames, thre1):
             x = frames.astype(jnp.float32) / 256.0 - 0.5
             paf8, heat8 = forward(params, x, cd)
-            if self.fused_peaks and self.pallas_nms:
-                # blur ∘ upsample folded into one matmul pair + NMS/first-K
-                # selection as one Pallas VMEM pass
+            if self.fused_peaks and (self.pallas_nms or self.pallas_mask):
+                # blur ∘ upsample folded into one matmul pair + the NMS
+                # epilogue (mask-only or mask+selection) as a Pallas VMEM pass
                 pk = find_peaks_fused_batched(
                     heat8[:, :, :, :cfg.njoint - 1], hb, wb, thre1,
-                    cfg.max_peaks)
+                    cfg.max_peaks,
+                    kernel="mask" if self.pallas_mask else "select")
             elif self.fused_peaks:
                 # blur ∘ upsample folded into one matmul pair; the
                 # unblurred full-res heatmap is never materialized
@@ -261,7 +299,7 @@ class BatchedBodyPipeline:
             hi = jax.lax.Precision.HIGHEST
             # averaged PAF, reconstructed on the bucket /8 grid (mxu
             # mode) or at full bucket resolution (exact mode)
-            mats = gfolds if self.paf_mode in ("mxu", "cell") \
+            mats = gfolds if self.paf_mode != "exact" \
                 else [f[1] for f in folds]
             paf_avg = None
             for p8, (gh, gw) in zip(paf8s, mats):
@@ -278,9 +316,12 @@ class BatchedBodyPipeline:
                 pk, paf_in = multi_scale(params, frames, thre1)
             else:
                 pk, paf_in = single_scale(params, frames, thre1)
-            if self.paf_mode in ("mxu", "cell"):
-                fn = score_limbs_cell if self.paf_mode == "cell" \
-                    else score_limbs_mxu
+            at8 = {"mxu": score_limbs_mxu, "cell": score_limbs_cell,
+                   "fused": score_limbs_fused,
+                   "take": lambda *a, **kw: score_limbs_fused(
+                       *a, impl="take", **kw)}
+            if self.paf_mode in at8:
+                fn = at8[self.paf_mode]
                 ls_fn = lambda p8, xy, v: fn(  # noqa: E731
                     p8, xy, v, limb_seq, map_idx, cfg.stride, cfg.thre2,
                     cfg.mid_num, orig_h=jnp.float32(hb))
@@ -306,7 +347,8 @@ class BatchedBodyPipeline:
                 # massive tiled-layout conversion on host->device transfer
                 # (measured ~25MB/s vs ~1.5GB/s flat); reshape on device.
                 frames = frames_flat.reshape(b, hb, wb, 3)
-                return _pack_body(*core(params, frames, thre1))
+                return _pack_body(*core(params, frames, thre1),
+                                  self.pack_mode)
 
             if self.mesh is None:
                 self._programs[key] = jax.jit(program)
@@ -346,15 +388,20 @@ class BatchedBodyPipeline:
         k = self.cfg.max_peaks
         l = self.limb_seq.shape[0]
         m = self.top_m
-        sizes = [b * c * k * 2, b * c * k, b * c,
-                 b * l * m, b * l * m, b * l * m]
+        sizes = [b * c * k * 2, b * c * k, b * c, b * l * m, b * l * m]
+        if self.pack_mode != "nook":
+            sizes.append(b * l * m)
         parts = np.split(np.asarray(packed), np.cumsum(sizes)[:-1])
         xy = parts[0].reshape(b, c, k, 2).astype(np.int32)
         score = parts[1].reshape(b, c, k)
         count = parts[2].reshape(b, c).astype(np.int32)
         pair = parts[3].reshape(b, l, m).astype(np.int32)
         cscore = parts[4].reshape(b, l, m)
-        cok = parts[5].reshape(b, l, m) > 0.5
+        if self.pack_mode == "nook":
+            cok = cscore > -1e29
+            cscore = np.where(cok, cscore, 0.0)
+        else:
+            cok = parts[5].reshape(b, l, m) > 0.5
         return xy, score, count, pair, cscore, cok
 
     def __call__(self, frames: np.ndarray,
@@ -615,6 +662,7 @@ class FusedPosePipeline:
             # the fused program is pjit-sharded over `data`; pallas_call
             # does not auto-partition under pjit
             self.body.pallas_nms = False
+            self.body.pallas_mask = False
         self._programs = {}
 
     # hands per frame is fixed by construction: one per arm side
@@ -651,7 +699,7 @@ class FusedPosePipeline:
                                         ).reshape(b * self.MAX_HANDS, 4)
                 hxy, hvalid = hand_core(hparams, frames, boxes)
                 return jnp.concatenate([
-                    _pack_body(pk, cc),
+                    _pack_body(pk, cc, self.body.pack_mode),
                     boxes.astype(jnp.float32).reshape(-1),
                     hxy.reshape(-1),
                     hvalid.astype(jnp.float32).reshape(-1)])
@@ -721,7 +769,7 @@ class FusedPosePipeline:
         l, m = self.body.limb_seq.shape[0], self.body.top_m
         nb = b * self.MAX_HANDS
         nh = self.hand.cfg.n_parts
-        body_len = b * (c * k * 3 + c + 3 * l * m)
+        body_len = _body_pack_len(b, c, k, l, m, self.body.pack_mode)
         packed = np.asarray(packed)
         body_packed = packed[:body_len]
         rest = packed[body_len:]

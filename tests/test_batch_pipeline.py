@@ -92,6 +92,32 @@ def test_paf_mxu_matches_exact_on_constant_channels(rng):
     np.testing.assert_array_equal(np.asarray(cell.ok), np.asarray(mxu.ok))
 
 
+def test_paf_fused_matches_mxu_on_random_maps(rng):
+    """The materialization-free scorers (fused reduce + small-table take)
+    recover exactly the mxu one-hot sampled values on ARBITRARY /8 maps:
+    identical ok booleans, scores equal to f32 summation order."""
+    import jax.numpy as jnp
+
+    from islx.ops import paf as P
+
+    h8, w8 = 23, 16
+    stride = 8
+    paf8 = (rng.rand(h8, w8, 52).astype(np.float32) - 0.5)
+    c, k = 25, 8
+    xy = np.stack([rng.randint(0, w8 * stride, (c, k)),
+                   rng.randint(0, h8 * stride, (c, k))], -1).astype(np.int32)
+    valid = rng.rand(c, k) > 0.4
+    args = (jnp.asarray(paf8), jnp.asarray(xy), jnp.asarray(valid),
+            jnp.asarray(P.LIMB_SEQ_BODY25), jnp.asarray(P.MAP_IDX_BODY25),
+            stride, 0.05, 10)
+    mxu = P.score_limbs_mxu(*args, orig_h=float(h8 * stride))
+    for impl in ("reduce", "take"):
+        got = P.score_limbs_fused(*args, orig_h=float(h8 * stride), impl=impl)
+        np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(mxu.ok))
+        np.testing.assert_allclose(np.asarray(got.score),
+                                   np.asarray(mxu.score), atol=1e-6)
+
+
 def test_batched_hand_multiscale_averaging(rng):
     """The 4-scale batched hand branch averages per-scale heatmaps with the
     CORRECT mean (reference src/hand.py:56) before peak extraction."""

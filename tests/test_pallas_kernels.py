@@ -42,6 +42,50 @@ def test_nms_first_k_kernel_matches_xla(rng):
         np.testing.assert_array_equal(want, got[i])
 
 
+def test_nms_mask_rows_kernel_matches_xla(rng):
+    """Mask-only kernel == _nms_mask + row counts on the SAME blurred input
+    (exact for thre1 > 0), and the row-blocked selection fed with the
+    kernel's u8 mask + precomputed counts == the bool-mask chain."""
+    from islx.ops.pallas_peaks import nms_mask_rows
+    from islx.ops.peaks import _first_k_masked_rows, _nms_mask
+
+    b, c, h, w, k = 3, 25, 46, 32, 16
+    thre = 0.55
+    maps = rng.rand(b, c, h, w).astype(np.float32)
+    maps[0, 0, 10:13, 5:8] = 0.9            # plateau: >=-tie semantics
+    mask_u8, row_cnt = nms_mask_rows(jnp.asarray(maps), jnp.float32(thre),
+                                     interpret=True)
+    for i in range(b):
+        hwc = jnp.asarray(maps[i].transpose(1, 2, 0))      # [H,W,C]
+        want_mask = np.asarray(_nms_mask(hwc, thre)).transpose(2, 0, 1)
+        np.testing.assert_array_equal(want_mask,
+                                      np.asarray(mask_u8[i]) != 0)
+        np.testing.assert_array_equal(want_mask.sum(-1),
+                                      np.asarray(row_cnt[i]))
+        want_idx = np.asarray(_first_k_masked_rows(jnp.asarray(want_mask), k))
+        got_idx = np.asarray(_first_k_masked_rows(mask_u8[i], k, row_cnt[i]))
+        np.testing.assert_array_equal(want_idx, got_idx)
+
+
+def test_find_peaks_fused_batched_mask_matches_vmap(rng):
+    """kernel='mask' batched epilogue == vmap(find_peaks_fused)."""
+    from islx.ops.peaks import find_peaks_fused, find_peaks_fused_batched
+
+    b, h8, w8, c = 2, 12, 9, 7
+    h_out, w_out = 96, 72
+    heat8 = rng.rand(b, h8, w8, c).astype(np.float32)
+    want = jax.vmap(lambda hh: find_peaks_fused(
+        hh, h_out, w_out, 0.4, 8))(jnp.asarray(heat8))
+    got = find_peaks_fused_batched(jnp.asarray(heat8), h_out, w_out,
+                                   jnp.float32(0.4), 8, interpret=True,
+                                   kernel="mask")
+    np.testing.assert_array_equal(np.asarray(want.xy), np.asarray(got.xy))
+    np.testing.assert_array_equal(np.asarray(want.valid),
+                                  np.asarray(got.valid))
+    np.testing.assert_allclose(np.asarray(want.score), np.asarray(got.score),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_find_peaks_fused_batched_matches_vmap(rng):
     """Batched pallas epilogue == vmap(find_peaks_fused) end to end (random
     data: NMS ties have measure zero, so results are exact)."""

@@ -267,8 +267,9 @@ def stage_pafchunk():
 
 def stage_pafmode():
     """Module-span A/B of PAF scoring formulations inside the production
-    body program: per-sample one-hot matmul (mxu) vs per-cell regrouping
-    (cell). Equality is pinned in tests/test_batch_pipeline.py."""
+    body program: materialization-free fused reduce / small-table take vs
+    per-cell count matrix (cell) vs one-hot matmul (mxu). Equality is
+    pinned in tests/test_batch_pipeline.py."""
     import jax.profiler
 
     from islx.core.config import PoseConfig
@@ -279,7 +280,8 @@ def stage_pafmode():
     B = int(os.environ.get("ISLX_PEAKSEL_B", "192"))
     frames = (rng.rand(B, 184, 128, 3) * 255).astype(np.uint8)
     params = cpm.init_params("body25")
-    for mode in ("cell", "mxu"):
+    modes = os.environ.get("ISLX_PAF_MODES", "fused,take,cell").split(",")
+    for mode in modes:
         pipe = BatchedBodyPipeline(
             params, "body25", PoseConfig(model_type="body25", max_peaks=16),
             compute_dtype=jnp.bfloat16, paf_mode=mode)
@@ -293,6 +295,152 @@ def stage_pafmode():
             if "jit_program" in name:
                 print(f"[pafmode] {mode}: {ms:.1f} ms/step "
                       f"(B={B}, module {name[:40]})")
+
+
+def stage_nmsmask():
+    """Compiled-on-TPU equality + module-span A/B of the Pallas mask-only
+    NMS epilogue (ISLX_PALLAS_MASK / pallas_mask=True) vs the XLA chain,
+    inside the production body program at bench shapes. Also packs A/B:
+    pack_mode nook (default) vs flat via ISLX_PACK_MODE."""
+    import jax.profiler
+
+    from islx.core.config import PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import BatchedBodyPipeline
+
+    rng = np.random.RandomState(0)
+    B = int(os.environ.get("ISLX_PEAKSEL_B", "192"))
+    frames = (rng.rand(B, 184, 128, 3) * 255).astype(np.uint8)
+    params = cpm.init_params("body25")
+    variants = [("xla", dict(pallas_mask=False)),
+                ("pmask", dict(pallas_mask=True))]
+    frames0 = frames.copy()     # equality inputs (trace loops mutate frames)
+    results = {}
+    for name, kw in variants:
+        pipe = BatchedBodyPipeline(
+            params, "body25", PoseConfig(model_type="body25", max_peaks=16),
+            compute_dtype=jnp.bfloat16, **kw)
+        packed = pipe.device_step(frames0)
+        results[name] = pipe.assemble(packed, B)
+        tdir = f"/tmp/islx_nmsmask_{name}"
+        with jax.profiler.trace(tdir):
+            for i in range(10):
+                frames[0, 0, i, 0] ^= 1
+                np.asarray(pipe.device_step(frames))
+        for mname, ms in sorted(_module_spans_ms(tdir).items()):
+            if "jit_program" in mname:
+                print(f"[nmsmask] {name}: {ms:.1f} ms/step "
+                      f"(B={B}, module {mname[:40]})")
+    ok = all(
+        np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+        for a, b in zip(results["xla"], results["pmask"]))
+    print(f"[nmsmask] assembled (candidate, subset) equality across {B} "
+          f"frames: {'PASS' if ok else 'FAIL'}")
+
+
+def stage_stem():
+    """Module-span A/B of VGG-stem formulations at bench shapes.
+
+    The B=192 body-program profile shows the stem pathological: the
+    normalize producer materializes bf16[192,184,128,3] C-minor (3 lanes of
+    128 used -> ~1.2GB physical) and conv1_1 reads it (reshape 3.4ms +
+    conv1_1 7.7ms + conv1_2 3.0ms per step vs ~2.3ms ideal). Variants:
+
+      nhwc  current: normalize -> conv1_1 -> conv1_2 -> pool (NHWC)
+      nchw  stem in NCHW (W=128 -> exact lane tile), transpose back after
+            the pool (145MB at [B,64,92,64])
+      s2d   exact 2x2 space-to-depth rewrite of conv1_1: [B,92,64,12] input,
+            3x3x12->256 kernel with rearranged weights, depth-to-space back
+    """
+    import jax.profiler
+
+    rng = np.random.RandomState(0)
+    B, H, W = (int(os.environ.get("ISLX_STEM_B", "192")), 184, 128)
+    frames = (rng.rand(B * H * W * 3) * 255).astype(np.uint8)
+    w1 = (rng.rand(3, 3, 3, 64).astype(np.float32) - 0.5) * 0.2
+    b1 = rng.rand(64).astype(np.float32) * 0.1
+    w2 = (rng.rand(3, 3, 64, 64).astype(np.float32) - 0.5) * 0.05
+    b2 = rng.rand(64).astype(np.float32) * 0.1
+    cd = jnp.bfloat16
+
+    def conv(x, w, dn, pad=1):
+        return jax.lax.conv_general_dilated(
+            x.astype(cd), jnp.asarray(w, cd), (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+
+    def relu_b(out, b):
+        return jnp.maximum(out.astype(cd) + jnp.asarray(b, cd), 0)
+
+    def f_nhwc(flat):
+        x = flat.reshape(B, H, W, 3).astype(jnp.float32) / 256.0 - 0.5
+        h = relu_b(conv(x, w1, ("NHWC", "HWIO", "NHWC")), b1)
+        h = relu_b(conv(h, w2, ("NHWC", "HWIO", "NHWC")), b2)
+        h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return h
+
+    def f_nchw(flat):
+        x = flat.reshape(B, H, W, 3).astype(jnp.float32) / 256.0 - 0.5
+        x = x.transpose(0, 3, 1, 2)
+        h = conv(x, w1, ("NCHW", "HWIO", "NCHW"))
+        h = jnp.maximum(h.astype(cd)
+                        + jnp.asarray(b1, cd)[None, :, None, None], 0)
+        h = conv(h, w2, ("NCHW", "HWIO", "NCHW"))
+        h = jnp.maximum(h.astype(cd)
+                        + jnp.asarray(b2, cd)[None, :, None, None], 0)
+        h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                  (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+        return h.transpose(0, 2, 3, 1)
+
+    # exact s2d weight rearrangement: w2s[Dy,Dx,(py,px,c),(qy,qx,o)] =
+    # w1[2Dy+py-qy-1, 2Dx+px-qx-1, c, o] where in range, else 0
+    w1s = np.zeros((3, 3, 12, 256), np.float32)
+    for Dy in range(3):
+        for Dx in range(3):
+            for py in range(2):
+                for px in range(2):
+                    for qy in range(2):
+                        for qx in range(2):
+                            dy, dx = 2 * Dy + py - qy - 1, 2 * Dx + px - qx - 1
+                            if 0 <= dy < 3 and 0 <= dx < 3:
+                                w1s[Dy, Dx, (py * 2 + px) * 3:(py * 2 + px) * 3 + 3,
+                                    (qy * 2 + qx) * 64:(qy * 2 + qx + 1) * 64] = \
+                                    w1[dy, dx, :, :]
+
+    def f_s2d(flat):
+        x = flat.reshape(B, H // 2, 2, W // 2, 2, 3).astype(jnp.float32)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 12)
+        x = x / 256.0 - 0.5
+        h = conv(x, w1s, ("NHWC", "HWIO", "NHWC"))     # [B,92,64,256]
+        h = relu_b(h, np.tile(b1, 4))                  # epilogue in s2d space
+        h = h.reshape(B, H // 2, W // 2, 2, 2, 64)
+        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, 64)
+        h = relu_b(conv(h, w2, ("NHWC", "HWIO", "NHWC")), b2)
+        h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return h
+
+    fns = {"nhwc": f_nhwc, "nchw": f_nchw, "s2d": f_s2d}
+    flat = jnp.asarray(frames)
+    ref = None
+    for name, fn in fns.items():
+        jf = jax.jit(fn)
+        out = np.asarray(jf(flat), np.float32)
+        if ref is None:
+            ref = out
+        else:
+            d = np.abs(out - ref).max()
+            print(f"[stem] {name} max|diff| vs nhwc: {d:.5f} "
+                  f"({'PASS' if d < 0.05 else 'FAIL'})")
+        tdir = f"/tmp/islx_stem_{name}"
+        with jax.profiler.trace(tdir):
+            for i in range(10):
+                frames[i] ^= 1
+                flat = jnp.asarray(frames)
+                np.asarray(jf(flat))
+        for mname, ms in sorted(_module_spans_ms(tdir).items()):
+            if "jit" in mname:
+                print(f"[stem] {name}: {ms:.2f} ms/step (B={B})")
 
 
 def stage_profile():
@@ -309,7 +457,8 @@ STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
           "handcompile": stage_handcompile,
           "fused": stage_fused, "profile": stage_profile,
           "peaksel": stage_peaksel, "pafchunk": stage_pafchunk,
-          "pafmode": stage_pafmode}
+          "pafmode": stage_pafmode, "stem": stage_stem,
+          "nmsmask": stage_nmsmask}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["kernels", "handcompile", "fused"]
