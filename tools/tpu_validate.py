@@ -338,6 +338,64 @@ def stage_nmsmask():
           f"frames: {'PASS' if ok else 'FAIL'}")
 
 
+def stage_fusedspan():
+    """Module-span profile of the CURRENT production FUSED program (body +
+    on-device hand boxes + hand CPM) at bench shapes — the relay-immune
+    on-device fps/chip figure. Uses the int8 pytrees from .bench_cache when
+    present (the bench headline config), else bf16. Trace persists at
+    /tmp/islx_fusedspan for `python tools/trace_summary.py /tmp/islx_fusedspan
+    --ops` op-category analysis."""
+    import cv2
+    import jax.profiler
+
+    from islx.core import checkpoint as ckpt
+    from islx.models import cpm
+    from islx.ops import yuv
+    from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
+
+    B = int(os.environ.get("ISLX_FUSED_B", "192"))
+    img = cv2.imread("/root/reference/images/demo.jpg")
+    if img is None:
+        img = (np.random.RandomState(0).rand(512, 384, 3) * 255
+               ).astype(np.uint8)
+    h0, w0 = img.shape[:2]
+    hb, wb = bucket_for(h0, w0, target_h=184)
+    frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
+    frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    configs = {"bf16": (cpm.init_params("body25"), cpm.init_params("hand"))}
+    for name in os.listdir(os.path.join(repo, ".bench_cache")) \
+            if os.path.isdir(os.path.join(repo, ".bench_cache")) else []:
+        if name.startswith(f"int8_{hb}x{wb}") and name.endswith("_body"):
+            base = os.path.join(repo, ".bench_cache", name[:-5])
+            if ckpt.exists(base + "_body") and ckpt.exists(base + "_hand"):
+                configs["int8"] = (ckpt.load_pytree(base + "_body"),
+                                   ckpt.load_pytree(base + "_hand"))
+                break
+    which = os.environ.get("ISLX_FUSED_CONFIG",
+                           "int8" if "int8" in configs else "bf16")
+    bp, hp = configs[which]
+    pipe = FusedPosePipeline(bp, hp, compute_dtype=jnp.bfloat16)
+    frames_yuv = yuv.bgr_to_yuv420_host(frames)
+
+    def step(i):
+        frames_yuv[(i * 131) % (B * hb * wb)] ^= 1
+        return pipe.device_step_flat(jnp.asarray(frames_yuv), B, hb, wb,
+                                     (h0, w0), 0.4, input_format="yuv420")
+
+    np.asarray(step(0))   # compile + warm outside the trace
+    tdir = "/tmp/islx_fusedspan"
+    with jax.profiler.trace(tdir):
+        for i in range(1, 11):
+            np.asarray(step(i))
+    for mname, ms in sorted(_module_spans_ms(tdir).items()):
+        if "jit" in mname:
+            print(f"[fusedspan] {which}: {ms:.1f} ms/step = "
+                  f"{B / ms * 1000:.0f} fps/chip on-device "
+                  f"(B={B} {hb}x{wb}, module {mname[:40]})")
+
+
 def stage_stem():
     """Module-span A/B of VGG-stem formulations at bench shapes.
 
@@ -458,7 +516,7 @@ STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
           "fused": stage_fused, "profile": stage_profile,
           "peaksel": stage_peaksel, "pafchunk": stage_pafchunk,
           "pafmode": stage_pafmode, "stem": stage_stem,
-          "nmsmask": stage_nmsmask}
+          "nmsmask": stage_nmsmask, "fusedspan": stage_fusedspan}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["kernels", "handcompile", "fused"]
