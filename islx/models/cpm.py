@@ -281,9 +281,9 @@ def _conv(x: jax.Array, p: Dict[str, jax.Array], c: Conv,
         # int8-quantized layer (islx.models.quant): same epilogue semantics,
         # conv runs on the MXU's 2x int8 path
         return quant.conv_q(x, p, c, compute_dtype)
-    if quant._OBSERVER is not None and not isinstance(
-            x, jax.core.Tracer):  # calibration pass (eager only)
-        quant._OBSERVER(c.name, x)
+    obs = quant.observer()   # thread-local int8 calibration hook
+    if obs is not None:
+        obs(c.name, x)
     w = p["w"].astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w,

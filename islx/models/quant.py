@@ -104,25 +104,72 @@ def conv_q(x: jax.Array, p: Dict[str, jax.Array], c,
 
 
 # ---------------------------------------------------------------------------
-# Calibration: per-conv-input max|x| from eager float forwards
+# Calibration: per-conv-input max|x| collected by an observer hook in
+# cpm._conv. Thread-local so a live-serving calibration thread
+# (islx.serve.batcher --int8-after) can never see another thread's trace.
 # ---------------------------------------------------------------------------
 
-_OBSERVER = None  # set by calibrate_scales; cpm._conv calls it when eager
+import threading
+
+_TLS = threading.local()
+
+
+def observer():
+    """The active calibration observer for THIS thread (or None)."""
+    return getattr(_TLS, "observer", None)
 
 
 def calibrate_scales(params: cpm.Params, model_type: str,
                      batches: Iterable[np.ndarray],
                      compute_dtype=jnp.float32,
-                     percentile: Optional[float] = None
-                     ) -> Dict[str, float]:
-    """Run float forwards EAGERLY over calibration batches and record each
-    conv input's max|x| (or the given percentile of |x|). batches: iterable
-    of normalized net inputs [B,H,W,3] (same preprocessing as inference:
-    x/256 - 0.5)."""
-    global _OBSERVER
+                     percentile: Optional[float] = None,
+                     use_jit: bool = True) -> Dict[str, float]:
+    """Record each conv input's max|x| (or the given percentile of |x|) over
+    calibration batches. batches: iterable of normalized net inputs
+    [B,H,W,3] (same preprocessing as inference: x/256 - 0.5).
+
+    use_jit=True (default) traces ONE jitted forward whose observer folds the
+    per-conv maxima into the program outputs — one compile + one fast
+    execution instead of a per-op eager dispatch per conv (which costs
+    ~10 minutes on CPU for the two CPM trunks). use_jit=False runs eagerly;
+    that observer skips tracers, so it stays safe when another thread is
+    tracing a jit program concurrently (the serving swap path)."""
+    fwd = cpm.FORWARDS[model_type]
+
+    if use_jit:
+        names_box: list = []
+
+        def run(p, x):
+            maxima: Dict[str, jax.Array] = {}
+
+            def observe(name: str, v: jax.Array) -> None:
+                m = (jnp.max(jnp.abs(v)) if percentile is None
+                     else jnp.percentile(jnp.abs(v), percentile))
+                prev = maxima.get(name)
+                maxima[name] = m if prev is None else jnp.maximum(prev, m)
+
+            _TLS.observer = observe
+            try:
+                fwd(p, x, compute_dtype)
+            finally:
+                _TLS.observer = None
+            names = sorted(maxima)
+            names_box[:] = names
+            return jnp.stack([maxima[n] for n in names])
+
+        run_j = jax.jit(run)
+        acc = None
+        for x in batches:
+            vals = np.asarray(run_j(params, jnp.asarray(x, jnp.float32)),
+                              np.float32)
+            acc = vals if acc is None else np.maximum(acc, vals)
+        return {n: float(v) for n, v in zip(names_box, acc)}
+
     maxima: Dict[str, jax.Array] = {}
 
     def observe(name: str, x: jax.Array) -> None:
+        if isinstance(x, jax.core.Tracer):
+            return  # a concurrent jit trace in this thread is not calibration
         # keep DEVICE scalars — one packed fetch at the end instead of a
         # ~100ms host round trip per conv per batch (CLAUDE.md transfer rule)
         v = (jnp.max(jnp.abs(x)) if percentile is None
@@ -130,14 +177,13 @@ def calibrate_scales(params: cpm.Params, model_type: str,
         prev = maxima.get(name)
         maxima[name] = v if prev is None else jnp.maximum(prev, v)
 
-    _OBSERVER = observe
+    _TLS.observer = observe
     try:
-        fwd = cpm.FORWARDS[model_type]
         for x in batches:
             jax.block_until_ready(fwd(params, jnp.asarray(x, jnp.float32),
                                       compute_dtype))
     finally:
-        _OBSERVER = None
+        _TLS.observer = None
     names = list(maxima)
     vals = np.asarray(jnp.stack([maxima[n] for n in names]))  # ONE fetch
     return {n: float(v) for n, v in zip(names, vals)}

@@ -79,6 +79,22 @@ def test_calibrate_and_full_forward(rng):
     # implementation-exactness check is test_conv_q_matches_int_emulation
 
 
+def test_calibrate_jit_matches_eager(rng):
+    """The jitted calibration (one compile, default — the eager per-op
+    dispatch costs ~10min on CPU for the production trunks) records the same
+    per-conv scales as the eager observer path."""
+    params = cpm.init_params("hand", jax.random.PRNGKey(1))
+    batches = [(rng.rand(1, 16, 16, 3).astype(np.float32)) - 0.5
+               for _ in range(2)]
+    jit_scales = quant.calibrate_scales(params, "hand", batches)
+    eager_scales = quant.calibrate_scales(params, "hand", batches,
+                                          use_jit=False)
+    assert set(jit_scales) == set(eager_scales)
+    for name in jit_scales:
+        np.testing.assert_allclose(jit_scales[name], eager_scales[name],
+                                   rtol=1e-6, err_msg=name)
+
+
 def test_quantized_pipeline_runs(rng):
     """Quantized params flow through FusedPosePipeline unchanged."""
     from islx.core.config import HandConfig, PoseConfig
