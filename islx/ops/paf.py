@@ -199,7 +199,8 @@ def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
                      peaks_valid: jax.Array, limb_seq: jax.Array,
                      map_idx: jax.Array, stride: int = 8,
                      thre2: float = 0.05, mid_num: int = 10,
-                     orig_h: jax.Array | float = None) -> LimbScores:
+                     orig_h: jax.Array | float = None,
+                     count_dtype=jnp.int32, seq: bool = True) -> LimbScores:
     """Per-cell PAF scoring: the same /8-grid sampling as
     :func:`score_limbs_mxu` regrouped by CELL instead of by sample.
 
@@ -215,6 +216,12 @@ def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
     This removes the [K*K*mid, cells] x [cells, P] one-hot matmul entirely
     (~100x fewer FLOPs than mxu); what remains is elementwise work on
     [K*K, cells]. swdp can differ from mxu only by f32 summation order.
+
+    count_dtype: the count matrix is the big HBM tensor here (written once,
+    read twice; [B, K*K, cells] s32 = 72MB/limb at bench shapes) and its
+    values are <= mid_num — int8 carries it in 1/4 the bytes, identical
+    integers. seq=False vmaps the limb axis instead of lax.map-sequencing it
+    (viable at int8 where all-limb intermediates fit comfortably).
     """
     if orig_h is None:
         orig_h = paf8.shape[0] * stride
@@ -243,13 +250,16 @@ def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
                       0, h8 - 1).astype(jnp.int32)
         cell = (cy * w8 + cx).reshape(k * k, mid_num)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cells), 2)
-        count = (cell[:, :, None] == iota).sum(1)          # [K*K, cells] s32
+        count = (cell[:, :, None] == iota).astype(count_dtype).sum(
+            1, dtype=count_dtype)                          # [K*K, cells]
         countf = count.astype(jnp.float32)
 
         ps = paf_flat[:, chans]                            # [cells, 2]
         s_cell = unit @ ps.T                               # [K*K, cells]
         score_sum = (countf * s_cell).sum(-1)
-        hits = jnp.where(s_cell > thre2, count, 0).sum(-1)
+        hits = jnp.where(s_cell > thre2, count,
+                         jnp.asarray(0, count_dtype)
+                         ).sum(-1, dtype=jnp.int32)        # <= mid_num
         prior = jnp.minimum(0.5 * orig_h / norm - 1.0, 0.0).reshape(k * k)
         swdp = score_sum / mid_num + prior
         crit1 = hits > 0.8 * mid_num
@@ -257,7 +267,10 @@ def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
               & (a_valid[:, None] & b_valid[None, :]).reshape(k * k))
         return swdp.reshape(k, k), ok.reshape(k, k)
 
-    swdp, ok = jax.lax.map(one, (limb_seq, map_idx))
+    if seq:
+        swdp, ok = jax.lax.map(one, (limb_seq, map_idx))
+    else:
+        swdp, ok = jax.vmap(lambda l, c: one((l, c)))(limb_seq, map_idx)
     return LimbScores(score=swdp, ok=ok)
 
 

@@ -144,7 +144,7 @@ class BatchedBodyPipeline:
     def __init__(self, params: cpm.Params, model_type: str = "body25",
                  cfg: Optional[PoseConfig] = None,
                  compute_dtype=jnp.bfloat16, mesh=None, top_m: int = 48,
-                 paf_mode: str = "cell", two_stage_peaks: bool = True,
+                 paf_mode: str = "cell8", two_stage_peaks: bool = True,
                  fused_peaks: Optional[bool] = None,
                  pallas_nms: Optional[bool] = None,
                  pallas_mask: Optional[bool] = None):
@@ -158,9 +158,12 @@ class BatchedBodyPipeline:
         self.mesh = mesh
         self.top_m = top_m    # device-sorted connection candidates per limb
         # /8-grid PAF scoring variants (tools/tpu_validate.py pafmode):
-        # 'fused' (materialization-free compare-reduce, vmapped limbs) |
-        # 'take' (same values via small-table gather) | 'cell' (per-cell
-        # count matrix) | 'mxu' (one-hot matmul) | 'exact' (full-res parity).
+        # 'cell8' (per-cell count matrix in int8 — counts <= mid_num, 1/4
+        # the HBM bytes of s32; DEFAULT, 62.7 vs 66.6 ms/step at B=192) |
+        # 'cell' (s32 counts) | 'vcell8' (int8 + vmapped limbs; measured
+        # slower, 69.3) | 'fused' (materialization-free compare-reduce) |
+        # 'take' (small-table gather) | 'mxu' (one-hot matmul) | 'exact'
+        # (full-res parity).
         # All /8 modes produce identical crit1/ok booleans; swdp differs
         # only by f32 summation order (tests/test_batch_pipeline.py).
         self.paf_mode = paf_mode
@@ -317,6 +320,10 @@ class BatchedBodyPipeline:
             else:
                 pk, paf_in = single_scale(params, frames, thre1)
             at8 = {"mxu": score_limbs_mxu, "cell": score_limbs_cell,
+                   "cell8": lambda *a, **kw: score_limbs_cell(
+                       *a, count_dtype=jnp.int8, **kw),
+                   "vcell8": lambda *a, **kw: score_limbs_cell(
+                       *a, count_dtype=jnp.int8, seq=False, **kw),
                    "fused": score_limbs_fused,
                    "take": lambda *a, **kw: score_limbs_fused(
                        *a, impl="take", **kw)}

@@ -117,6 +117,17 @@ def test_paf_fused_matches_mxu_on_random_maps(rng):
         np.testing.assert_allclose(np.asarray(got.score),
                                    np.asarray(mxu.score), atol=1e-6)
 
+    # the int8-count / vmapped-limb per-cell variants carry the same
+    # integers (counts <= mid_num fit int8): identical ok booleans, scores
+    # equal up to f32 summation order (XLA fuses the reductions differently)
+    cell = P.score_limbs_cell(*args, orig_h=float(h8 * stride))
+    for kw in (dict(count_dtype=jnp.int8),
+               dict(count_dtype=jnp.int8, seq=False)):
+        got = P.score_limbs_cell(*args, orig_h=float(h8 * stride), **kw)
+        np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(cell.ok))
+        np.testing.assert_allclose(np.asarray(got.score),
+                                   np.asarray(cell.score), atol=1e-6)
+
 
 def test_batched_hand_multiscale_averaging(rng):
     """The 4-scale batched hand branch averages per-scale heatmaps with the
