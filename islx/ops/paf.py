@@ -267,10 +267,24 @@ def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
               & (a_valid[:, None] & b_valid[None, :]).reshape(k * k))
         return swdp.reshape(k, k), ok.reshape(k, k)
 
-    if seq:
+    # Limb sequencing: lax.map (seq=True) bounds the count-matrix HBM
+    # footprint; ISLX_PAF_CHUNK vmaps `chunk` limbs per map step (at int8
+    # counts a chunk of 4 costs what ONE s32 limb did, so amortizing the
+    # 24-iteration while overhead is back on the table — A/B via
+    # tools/tpu_validate.py pafchunk).
+    nl = int(limb_seq.shape[0])
+    chunk = int(os.environ.get("ISLX_PAF_CHUNK", "1"))
+    if not seq:
+        swdp, ok = jax.vmap(lambda l_, c_: one((l_, c_)))(limb_seq, map_idx)
+    elif chunk <= 1 or nl % chunk:
         swdp, ok = jax.lax.map(one, (limb_seq, map_idx))
     else:
-        swdp, ok = jax.vmap(lambda l, c: one((l, c)))(limb_seq, map_idx)
+        swdp, ok = jax.lax.map(
+            lambda t: jax.vmap(lambda l_, c_: one((l_, c_)))(*t),
+            (limb_seq.reshape(nl // chunk, chunk, 2),
+             map_idx.reshape(nl // chunk, chunk, 2)))
+        swdp = swdp.reshape(nl, k, k)
+        ok = ok.reshape(nl, k, k)
     return LimbScores(score=swdp, ok=ok)
 
 
@@ -360,7 +374,7 @@ class CompactConnections(NamedTuple):
     """Per-limb candidate pairs, pre-sorted on device.
 
     pair: [L, M] int32 — flattened (i*K + j) candidate pair index
-    score: [L, M] float32
+    score: [L, M] float32 — score_with_dist_prior where ok, else -inf
     ok:   [L, M] bool — entry passes the acceptance criteria
 
     Sorted score-descending with ties in (i, j) enumeration order — exactly
@@ -382,13 +396,19 @@ def compact_connections(ls: LimbScores, m: int = 48) -> CompactConnections:
     reference (src/body.py:166); on TPU top_k lowers to a partial reduction
     instead of the full O(n log^2 n) sort network a stable argsort costs
     (measured 19ms -> <1ms on the 32-frame batched body program).
+
+    score/ok are the top_k VALUES themselves: score carries -inf at entries
+    that fail the acceptance criteria and ok derives from it. Every consumer
+    (host greedy grouping reads score only where ok — grouping.py:116-124;
+    device_hand_boxes re-masks with ok — hand_boxes.py:52) is insensitive to
+    the not-ok scores, and skipping the two [L, M]-row take_along_axis
+    gathers removed ~6ms/step of gather+linearize fusions from the B=192
+    body program.
     """
     l, k, _ = ls.score.shape
-    flat_score = ls.score.reshape(l, k * k)
-    flat_ok = ls.ok.reshape(l, k * k)
-    masked = jnp.where(flat_ok, flat_score, -jnp.inf)
-    _, order = jax.lax.top_k(masked, m)
+    masked = jnp.where(ls.ok, ls.score, -jnp.inf).reshape(l, k * k)
+    vals, order = jax.lax.top_k(masked, m)
     return CompactConnections(
         pair=order.astype(jnp.int32),
-        score=jnp.take_along_axis(flat_score, order, axis=1),
-        ok=jnp.take_along_axis(flat_ok, order, axis=1))
+        score=vals,
+        ok=vals != -jnp.inf)

@@ -110,15 +110,51 @@ def detect_hand_boxes(results, hb: int, wb: int, orig_hw: Tuple[int, int],
     return boxes
 
 
+def _pack2x16(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Two int arrays in [0, 65536) -> one s32 word each (lo | hi<<16)."""
+    return jnp.bitwise_or(jnp.bitwise_and(lo.astype(jnp.int32), 0xFFFF),
+                          jnp.left_shift(hi.astype(jnp.int32), 16))
+
+
+def _pack4x8(p: jax.Array) -> jax.Array:
+    """[..., 4] ints in [0, 256) -> s32 words (little-endian byte order,
+    matching numpy .view(np.uint8) on the fetched buffer)."""
+    p = p.astype(jnp.int32)
+    return (p[..., 0] | (p[..., 1] << 8) | (p[..., 2] << 16)
+            | (p[..., 3] << 24))
+
+
 def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
-    """Pack the peak + connection tables into ONE flat f32 buffer: each
+    """Pack the peak + connection tables into ONE flat buffer: each
     separate device->host fetch pays a fixed RPC round trip on tunneled TPU
     runtimes, so every program returns a single (small) download.
 
-    mode 'nook' (default): the ok plane is folded into the score as a -1e30
+    mode 'nook': the ok plane is folded into the score as a -1e30
     sentinel (host recovers ok = score > -1e30) — the pred linearization
     fusion was ~2.7ms/step on the B=192 body program for a bit that is
-    derivable. 'flat' ships all six planes (kept for A/B)."""
+    derivable. 'flat' ships all six planes (kept for A/B).
+
+    mode 'bits' (default): nook folding + integer planes bit-packed into ONE
+    s32 buffer — xy as two s16 per word, pair indices as four u8 per word
+    (K<=16 so pair = i*K+j < 256), f32 score planes bitcast. Bit-exact
+    (integers and raw f32 bits; no NaN patterns are ever formed since
+    coords < 2^15) at ~62% of the nook bytes: the fetch leg rides the same
+    degraded link as the uploads (CLAUDE.md), so result bytes are
+    throughput."""
+    if mode == "bits":
+        k = pk.xy.shape[-2]
+        m = cc.pair.shape[-1]
+        assert k * k <= 256 and m % 4 == 0, (k, m)
+        parts = [
+            _pack2x16(pk.xy[..., 0], pk.xy[..., 1]).reshape(-1),
+            jax.lax.bitcast_convert_type(pk.score, jnp.int32).reshape(-1),
+            pk.count.astype(jnp.int32).reshape(-1),
+            _pack4x8(cc.pair.reshape(cc.pair.shape[:-1] + (m // 4, 4))
+                     ).reshape(-1),
+            jax.lax.bitcast_convert_type(
+                jnp.where(cc.ok, cc.score, -1e30), jnp.int32).reshape(-1),
+        ]
+        return jnp.concatenate(parts)
     parts = [
         pk.xy.astype(jnp.float32).reshape(-1),
         pk.score.reshape(-1),
@@ -135,6 +171,8 @@ def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
 
 def _body_pack_len(b: int, c: int, k: int, l: int, m: int,
                    mode: str = "nook") -> int:
+    if mode == "bits":
+        return b * (c * k * 2 + c + l * (m // 4) + l * m)
     return b * (c * k * 3 + c + (2 if mode == "nook" else 3) * l * m)
 
 
@@ -395,6 +433,20 @@ class BatchedBodyPipeline:
         k = self.cfg.max_peaks
         l = self.limb_seq.shape[0]
         m = self.top_m
+        if self.pack_mode == "bits":
+            sizes = [b * c * k, b * c * k, b * c, b * l * (m // 4), b * l * m]
+            parts = np.split(np.ascontiguousarray(np.asarray(packed)),
+                             np.cumsum(sizes)[:-1])
+            w = parts[0].reshape(b, c, k)
+            xy = np.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], -1
+                          ).astype(np.int32)
+            score = parts[1].view(np.float32).reshape(b, c, k)
+            count = parts[2].reshape(b, c).astype(np.int32)
+            pair = (parts[3].view(np.uint8).astype(np.int32)
+                    .reshape(b, l, m))
+            cscore = parts[4].view(np.float32).reshape(b, l, m)
+            cok = cscore > -1e29
+            return xy, score, count, pair, np.where(cok, cscore, 0.0), cok
         sizes = [b * c * k * 2, b * c * k, b * c, b * l * m, b * l * m]
         if self.pack_mode != "nook":
             sizes.append(b * l * m)
@@ -705,6 +757,16 @@ class FusedPosePipeline:
                 boxes = jnp.concatenate([fidx, boxes2], -1
                                         ).reshape(b * self.MAX_HANDS, 4)
                 hxy, hvalid = hand_core(hparams, frames, boxes)
+                if self.body.pack_mode == "bits":
+                    # one s32 buffer end-to-end; hand coords rounded on
+                    # device (bit-identical to the host rint they replace)
+                    hw = _pack2x16(jnp.rint(hxy[..., 0]).astype(jnp.int32),
+                                   jnp.rint(hxy[..., 1]).astype(jnp.int32))
+                    return jnp.concatenate([
+                        _pack_body(pk, cc, "bits"),
+                        boxes.reshape(-1),
+                        hw.reshape(-1),
+                        hvalid.astype(jnp.int32).reshape(-1)])
                 return jnp.concatenate([
                     _pack_body(pk, cc, self.body.pack_mode),
                     boxes.astype(jnp.float32).reshape(-1),
@@ -781,6 +843,13 @@ class FusedPosePipeline:
         body_packed = packed[:body_len]
         rest = packed[body_len:]
         boxes = rest[:nb * 4].reshape(nb, 4).astype(np.int32)
+        if self.body.pack_mode == "bits":
+            w = rest[nb * 4:nb * 4 + nb * nh].reshape(nb, nh)
+            hxy_i = np.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], -1
+                             ).astype(np.int32)
+            hfound = rest[nb * 4 + nb * nh:].reshape(nb, nh) > 0
+            peaks = np.where(hfound[:, :, None], hxy_i, 0)
+            return body_packed, boxes, peaks
         hxy = rest[nb * 4:nb * 4 + nb * nh * 2].reshape(nb, nh, 2)
         hfound = rest[nb * 4 + nb * nh * 2:].reshape(nb, nh) > 0.5
         peaks = np.where(hfound[:, :, None],

@@ -117,16 +117,27 @@ def test_paf_fused_matches_mxu_on_random_maps(rng):
         np.testing.assert_allclose(np.asarray(got.score),
                                    np.asarray(mxu.score), atol=1e-6)
 
-    # the int8-count / vmapped-limb per-cell variants carry the same
-    # integers (counts <= mid_num fit int8): identical ok booleans, scores
-    # equal up to f32 summation order (XLA fuses the reductions differently)
+    # the int8-count / vmapped-limb / chunked per-cell variants carry the
+    # same integers (counts <= mid_num fit int8): identical ok booleans,
+    # scores equal up to f32 summation order (XLA fuses reductions
+    # differently across the variants)
+    import os
+
     cell = P.score_limbs_cell(*args, orig_h=float(h8 * stride))
-    for kw in (dict(count_dtype=jnp.int8),
-               dict(count_dtype=jnp.int8, seq=False)):
-        got = P.score_limbs_cell(*args, orig_h=float(h8 * stride), **kw)
-        np.testing.assert_array_equal(np.asarray(got.ok), np.asarray(cell.ok))
-        np.testing.assert_allclose(np.asarray(got.score),
-                                   np.asarray(cell.score), atol=1e-6)
+    try:
+        for chunk, kw in ((None, dict(count_dtype=jnp.int8)),
+                          (None, dict(count_dtype=jnp.int8, seq=False)),
+                          ("4", dict(count_dtype=jnp.int8)),
+                          ("8", dict(count_dtype=jnp.int8))):
+            if chunk is not None:
+                os.environ["ISLX_PAF_CHUNK"] = chunk
+            got = P.score_limbs_cell(*args, orig_h=float(h8 * stride), **kw)
+            np.testing.assert_array_equal(np.asarray(got.ok),
+                                          np.asarray(cell.ok))
+            np.testing.assert_allclose(np.asarray(got.score),
+                                       np.asarray(cell.score), atol=1e-6)
+    finally:
+        os.environ.pop("ISLX_PAF_CHUNK", None)
 
 
 def test_batched_hand_multiscale_averaging(rng):
@@ -375,6 +386,37 @@ def test_batched_body_multiscale_matches_parity(rng, ref_compat):
                                       subset_ref[:, :-2] >= 0)
         np.testing.assert_allclose(subset[:, -2:], subset_ref[:, -2:],
                                    atol=1e-3)
+
+
+def test_bits_pack_mode_matches_nook(rng, monkeypatch):
+    """pack_mode='bits' (xy as two s16/word, pair as four u8/word, f32
+    planes bitcast into one s32 buffer) assembles BIT-IDENTICAL people,
+    boxes and hand peaks to the f32 'nook' packing."""
+    from islx.core.config import HandConfig, PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import FusedPosePipeline, _body_pack_len
+
+    frames = (rng.rand(2, 48, 48, 3) * 255).astype(np.uint8)
+    bp, hp = cpm.init_params("body25"), cpm.init_params("hand")
+    outs = {}
+    for mode in ("nook", "bits"):
+        monkeypatch.setenv("ISLX_PACK_MODE", mode)
+        pipe = FusedPosePipeline(
+            bp, hp, pose_cfg=PoseConfig(model_type="body25", max_peaks=8),
+            hand_cfg=HandConfig(scale_search=(0.25,)),
+            compute_dtype=jnp.float32)
+        packed = pipe.device_step(frames, thre1=0.02)
+        assert packed.size > 0
+        if mode == "bits":   # ~62% of the nook bytes on the body section
+            assert _body_pack_len(2, 25, 8, 24, 48, "bits") < \
+                0.7 * _body_pack_len(2, 25, 8, 24, 48, "nook")
+        outs[mode] = pipe.assemble(packed, 2)
+    (res_n, box_n, pk_n), (res_b, box_b, pk_b) = outs["nook"], outs["bits"]
+    np.testing.assert_array_equal(box_n, box_b)
+    np.testing.assert_array_equal(pk_n, pk_b)
+    for (cand_n, sub_n), (cand_b, sub_b) in zip(res_n, res_b):
+        np.testing.assert_array_equal(cand_n, cand_b)
+        np.testing.assert_array_equal(sub_n, sub_b)
 
 
 def test_production_hand_config(monkeypatch):
