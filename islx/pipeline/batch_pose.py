@@ -247,9 +247,13 @@ class BatchedBodyPipeline:
         # mode is a static arg in this pipeline's programs (an env read
         # inside find_peaks_fused's own jit cache would be ignored on reuse).
         self.peaks_select = os.environ.get("ISLX_PEAKS_SELECT", "rows")
-        # result-buffer packing: 'nook' (ok folded into a score sentinel,
-        # default) | 'flat' (all six planes, A/B via ISLX_PACK_MODE)
-        self.pack_mode = os.environ.get("ISLX_PACK_MODE", "nook")
+        # result-buffer packing: 'bits' (default — nook ok-folding + integer
+        # planes bit-packed into one s32 buffer, ~64% of the nook bytes;
+        # TPU-validated assembled-equal and faster in every interleaved
+        # fetch-inclusive rep, tools/tpu_validate.py packab) | 'nook' (f32,
+        # ok folded into a score sentinel) | 'flat' (all six planes).
+        # A/B via ISLX_PACK_MODE.
+        self.pack_mode = os.environ.get("ISLX_PACK_MODE", "bits")
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 

@@ -88,8 +88,14 @@ def test_batched_forward_sharded_matches_single(mesh8):
 
 def test_fused_pose_pipeline_on_mesh(mesh8):
     """Data-parallel FusedPosePipeline: sharded frames produce the same
-    packed buffer as the single-device program (params replicate; the crop
-    gather all-gathers the u8 frame buffer)."""
+    results as the single-device program (params replicate; the crop
+    gather all-gathers the u8 frame buffer).
+
+    Compared through unpack(), not on the raw buffer: the default 'bits'
+    packing bitcasts f32 score planes into s32 words, where the 1-ulp float
+    drift between partitioned and single-device reductions shows up as
+    integer deltas in the thousands — semantically it is still a <=1e-4
+    score difference."""
     from islx.core.config import HandConfig, PoseConfig
     from islx.pipeline.batch_pose import FusedPosePipeline
 
@@ -103,9 +109,19 @@ def test_fused_pose_pipeline_on_mesh(mesh8):
     bp, hp = cpm.init_params("body25"), cpm.init_params("hand")
     single = FusedPosePipeline(bp, hp, **kw)
     sharded = FusedPosePipeline(bp, hp, mesh=mesh8, **kw)
-    want = np.asarray(single.device_step(frames, thre1=0.05))
-    got = np.asarray(sharded.device_step(frames, thre1=0.05))
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    want = single.device_step(frames, thre1=0.05)
+    got = sharded.device_step(frames, thre1=0.05)
+    body_w, boxes_w, peaks_w = single.unpack(np.asarray(want), b)
+    body_g, boxes_g, peaks_g = sharded.unpack(np.asarray(got), b)
+    np.testing.assert_array_equal(boxes_g, boxes_w)
+    np.testing.assert_array_equal(peaks_g, peaks_w)
+    for name, w, g in zip(("xy", "score", "count", "pair", "cscore", "cok"),
+                          single.body.unpack(body_w, b),
+                          sharded.body.unpack(body_g, b)):
+        if w.dtype.kind == "f":
+            np.testing.assert_allclose(g, w, atol=1e-4, err_msg=name)
+        else:
+            np.testing.assert_array_equal(g, w, err_msg=name)
 
 
 def test_cross_shard_crop_gather_exact(mesh8):

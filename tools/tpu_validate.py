@@ -501,6 +501,82 @@ def stage_stem():
                 print(f"[stem] {name}: {ms:.2f} ms/step (B={B})")
 
 
+def stage_packab():
+    """TPU equality + interleaved fetch-inclusive e2e A/B of result-buffer
+    packings on the FUSED program: 'nook' (f32) vs 'bits' (s32 bit-packed,
+    ~62% of the bytes). The fetch leg rides the same degraded link as the
+    uploads, so result bytes are throughput — module spans can't see this,
+    only fetch-inclusive wall-clock can."""
+    import cv2
+
+    from islx.core import checkpoint as ckpt
+    from islx.models import cpm
+    from islx.ops import yuv
+    from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
+
+    B = int(os.environ.get("ISLX_FUSED_B", "192"))
+    img = cv2.imread("/root/reference/images/demo.jpg")
+    if img is None:
+        img = (np.random.RandomState(0).rand(512, 384, 3) * 255
+               ).astype(np.uint8)
+    h0, w0 = img.shape[:2]
+    hb, wb = bucket_for(h0, w0, target_h=184)
+    frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
+    frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
+    frames_yuv = yuv.bgr_to_yuv420_host(frames)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bp, hp = cpm.init_params("body25"), cpm.init_params("hand")
+    cdir = os.path.join(repo, ".bench_cache")
+    for name in (os.listdir(cdir) if os.path.isdir(cdir) else []):
+        if name.startswith(f"int8_{hb}x{wb}") and name.endswith("_body"):
+            base = os.path.join(cdir, name[:-5])
+            if ckpt.exists(base + "_body") and ckpt.exists(base + "_hand"):
+                bp = ckpt.load_pytree(base + "_body")
+                hp = ckpt.load_pytree(base + "_hand")
+                print("[packab] int8 pytrees from .bench_cache")
+                break
+
+    pipes, results = {}, {}
+    for mode in ("nook", "bits"):
+        os.environ["ISLX_PACK_MODE"] = mode
+        pipes[mode] = FusedPosePipeline(bp, hp, compute_dtype=jnp.bfloat16)
+        packed = pipes[mode].device_step_flat(
+            jnp.asarray(frames_yuv), B, hb, wb, (h0, w0), 0.4,
+            input_format="yuv420")
+        results[mode] = pipes[mode].assemble(packed, B)
+        print(f"[packab] {mode} packed words/frame: {packed.size // B} "
+              f"({packed.dtype})")
+    os.environ.pop("ISLX_PACK_MODE", None)
+
+    (ra, xa, pa), (rb, xb, pb) = results["nook"], results["bits"]
+    ok = (np.array_equal(xa, xb) and np.array_equal(pa, pb)
+          and all(np.array_equal(c1, c2) and np.array_equal(s1, s2)
+                  for (c1, s1), (c2, s2) in zip(ra, rb)))
+    print(f"[packab] assembled equality across {B} frames: "
+          f"{'PASS' if ok else 'FAIL'}")
+
+    counter = [0]
+
+    def run(pipe, n):
+        t0 = time.time()
+        for _ in range(n):
+            i = counter[0]
+            counter[0] += 1
+            frames_yuv[(i * 131) % (B * hb * wb)] ^= 1
+            packed = pipe.device_step_flat(
+                jnp.asarray(frames_yuv), B, hb, wb, (h0, w0), 0.4,
+                input_format="yuv420")
+            np.asarray(packed)
+        return (time.time() - t0) / n * 1000
+
+    for rep in range(4):
+        for mode, pipe in pipes.items():
+            ms = run(pipe, 4)
+            print(f"[packab] rep{rep} {mode}: {ms:.0f} ms/step "
+                  f"= {B / ms * 1000:.0f} fps (fetch-inclusive)")
+
+
 def stage_profile():
     os.environ["BENCH_PROFILE"] = "/tmp/islx_trace"
     os.environ.setdefault("BENCH_WATCHDOG_S", "1200")
@@ -516,7 +592,8 @@ STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
           "fused": stage_fused, "profile": stage_profile,
           "peaksel": stage_peaksel, "pafchunk": stage_pafchunk,
           "pafmode": stage_pafmode, "stem": stage_stem,
-          "nmsmask": stage_nmsmask, "fusedspan": stage_fusedspan}
+          "nmsmask": stage_nmsmask, "fusedspan": stage_fusedspan,
+          "packab": stage_packab}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["kernels", "handcompile", "fused"]
