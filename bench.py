@@ -7,7 +7,7 @@ device-sorted connection compaction, ON-DEVICE hand-box placement from the
 PAF tables (islx.ops.hand_boxes), two hand crops per frame cut on device and
 run through the hand CPM at the 184px production resolution
 (HandConfig.production, PARITY.md #7; ISLX_HAND_SCALE=1.0 restores 368) with
-coarse-to-fine peak refinement — ONE u8 upload and ONE packed f32 fetch per
+coarse-to-fine peak refinement — ONE u8 upload and ONE bit-packed fetch per
 batch; host greedy grouping consumes the same fetch. Weights are random (the
 reference ships none) — FLOPs and memory traffic are identical to converted
 checkpoints.

@@ -124,6 +124,24 @@ def _pack4x8(p: jax.Array) -> jax.Array:
             | (p[..., 3] << 24))
 
 
+def _packf16x2(x: jax.Array) -> jax.Array:
+    """f32 [..., 2n] -> s32 words [..., n], two IEEE f16 per word
+    (round-to-nearest; lo half first, matching the host unpack)."""
+    assert x.shape[-1] % 2 == 0, x.shape
+    h = jax.lax.bitcast_convert_type(
+        x.astype(jnp.float16).reshape(x.shape[:-1] + (x.shape[-1] // 2, 2)),
+        jnp.uint16).astype(jnp.int32)
+    return h[..., 0] | (h[..., 1] << 16)
+
+
+def _unpackf16x2(w: np.ndarray) -> np.ndarray:
+    """Host inverse of _packf16x2 on a flat word array -> flat f32."""
+    u = np.ascontiguousarray(w).view(np.uint32)
+    lo = (u & 0xFFFF).astype(np.uint16).view(np.float16)
+    hi = (u >> 16).astype(np.uint16).view(np.float16)
+    return np.stack([lo, hi], -1).reshape(-1).astype(np.float32)
+
+
 def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
     """Pack the peak + connection tables into ONE flat buffer: each
     separate device->host fetch pays a fixed RPC round trip on tunneled TPU
@@ -140,7 +158,25 @@ def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
     (integers and raw f32 bits; no NaN patterns are ever formed since
     coords < 2^15) at ~62% of the nook bytes: the fetch leg rides the same
     degraded link as the uploads (CLAUDE.md), so result bytes are
-    throughput."""
+    throughput.
+
+    mode 'bits16': like 'bits' but the two f32 score planes (66% of the
+    bits words) ship as two IEEE f16 per word — ~65% of the bits bytes.
+    NOT bit-exact: scores round to ~5e-4 relative, below the production
+    bf16 compute path's own divergence (PARITY.md). The non-ok cscore
+    sentinel becomes -inf (f16-representable); ok scores are > 0 by
+    crit2, so no live value can collide with it."""
+    if mode == "bits16":
+        m = cc.pair.shape[-1]
+        assert pk.xy.shape[-2] % 2 == 0 and m % 4 == 0
+        return jnp.concatenate([
+            _pack2x16(pk.xy[..., 0], pk.xy[..., 1]).reshape(-1),
+            _packf16x2(pk.score).reshape(-1),
+            pk.count.astype(jnp.int32).reshape(-1),
+            _pack4x8(cc.pair.reshape(cc.pair.shape[:-1] + (m // 4, 4))
+                     ).reshape(-1),
+            _packf16x2(jnp.where(cc.ok, cc.score, -jnp.inf)).reshape(-1),
+        ])
     if mode == "bits":
         k = pk.xy.shape[-2]
         m = cc.pair.shape[-1]
@@ -171,6 +207,8 @@ def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
 
 def _body_pack_len(b: int, c: int, k: int, l: int, m: int,
                    mode: str = "nook") -> int:
+    if mode == "bits16":
+        return b * (c * k + c * (k // 2) + c + l * (m // 4) + l * (m // 2))
     if mode == "bits":
         return b * (c * k * 2 + c + l * (m // 4) + l * m)
     return b * (c * k * 3 + c + (2 if mode == "nook" else 3) * l * m)
@@ -247,13 +285,19 @@ class BatchedBodyPipeline:
         # mode is a static arg in this pipeline's programs (an env read
         # inside find_peaks_fused's own jit cache would be ignored on reuse).
         self.peaks_select = os.environ.get("ISLX_PEAKS_SELECT", "rows")
-        # result-buffer packing: 'bits' (default — nook ok-folding + integer
-        # planes bit-packed into one s32 buffer, ~64% of the nook bytes;
-        # TPU-validated assembled-equal and faster in every interleaved
-        # fetch-inclusive rep, tools/tpu_validate.py packab) | 'nook' (f32,
-        # ok folded into a score sentinel) | 'flat' (all six planes).
-        # A/B via ISLX_PACK_MODE.
-        self.pack_mode = os.environ.get("ISLX_PACK_MODE", "bits")
+        # result-buffer packing (A/B via ISLX_PACK_MODE):
+        #   'bits16' (production default) — integer planes bit-packed into
+        #     one s32 buffer + score planes as two f16 per word + hand-found
+        #     bitmask: 1541 words/frame vs bits 2357 / nook 3663
+        #     (tools/tpu_validate.py packab; PARITY.md #9). Scores round
+        #     ~5e-4 relative — NOT bit-exact.
+        #   'bits' (default for the parity construction paf_mode='exact',
+        #     which must stay bit-for-bit — CLAUDE.md) — same integer
+        #     packing, f32 score planes bitcast; bit-exact.
+        #   'nook' (f32, ok folded into a score sentinel) | 'flat' (all six
+        #     planes) — kept for A/B.
+        self.pack_mode = os.environ.get(
+            "ISLX_PACK_MODE", "bits" if paf_mode == "exact" else "bits16")
         self.limb_seq, self.map_idx = LIMB_TABLES[model_type]
         self._programs = {}
 
@@ -437,19 +481,26 @@ class BatchedBodyPipeline:
         k = self.cfg.max_peaks
         l = self.limb_seq.shape[0]
         m = self.top_m
-        if self.pack_mode == "bits":
-            sizes = [b * c * k, b * c * k, b * c, b * l * (m // 4), b * l * m]
+        if self.pack_mode in ("bits", "bits16"):
+            half = self.pack_mode == "bits16"
+            sizes = [b * c * k, b * c * (k // 2 if half else k), b * c,
+                     b * l * (m // 4), b * l * (m // 2 if half else m)]
             parts = np.split(np.ascontiguousarray(np.asarray(packed)),
                              np.cumsum(sizes)[:-1])
             w = parts[0].reshape(b, c, k)
             xy = np.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], -1
                           ).astype(np.int32)
-            score = parts[1].view(np.float32).reshape(b, c, k)
+            if half:
+                score = _unpackf16x2(parts[1]).reshape(b, c, k)
+                cscore = _unpackf16x2(parts[4]).reshape(b, l, m)
+                cok = cscore > -6e4   # sentinel is f16 -inf
+            else:
+                score = parts[1].view(np.float32).reshape(b, c, k)
+                cscore = parts[4].view(np.float32).reshape(b, l, m)
+                cok = cscore > -1e29
             count = parts[2].reshape(b, c).astype(np.int32)
             pair = (parts[3].view(np.uint8).astype(np.int32)
                     .reshape(b, l, m))
-            cscore = parts[4].view(np.float32).reshape(b, l, m)
-            cok = cscore > -1e29
             return xy, score, count, pair, np.where(cok, cscore, 0.0), cok
         sizes = [b * c * k * 2, b * c * k, b * c, b * l * m, b * l * m]
         if self.pack_mode != "nook":
@@ -685,7 +736,7 @@ class FusedPosePipeline:
     throughput. Here hand boxes are derived ON DEVICE from the PAF connection
     tables (islx.ops.hand_boxes: best elbow->wrist chain per side, the
     reference's exact box geometry) and the hand CPM runs in the same jitted
-    program: ONE u8 upload in, ONE packed f32 fetch out. Host grouping still
+    program: ONE u8 upload in, ONE bit-packed fetch out. Host grouping still
     produces the full skeletons from that same fetch — it now overlaps the
     next batch instead of gating the hand dispatch.
 
@@ -761,16 +812,24 @@ class FusedPosePipeline:
                 boxes = jnp.concatenate([fidx, boxes2], -1
                                         ).reshape(b * self.MAX_HANDS, 4)
                 hxy, hvalid = hand_core(hparams, frames, boxes)
-                if self.body.pack_mode == "bits":
+                if self.body.pack_mode in ("bits", "bits16"):
                     # one s32 buffer end-to-end; hand coords rounded on
                     # device (bit-identical to the host rint they replace)
                     hw = _pack2x16(jnp.rint(hxy[..., 0]).astype(jnp.int32),
                                    jnp.rint(hxy[..., 1]).astype(jnp.int32))
+                    if self.body.pack_mode == "bits16":
+                        # 21 found-bits per hand in one word each
+                        hv = jnp.sum(
+                            hvalid.astype(jnp.int32)
+                            << jnp.arange(hvalid.shape[-1], dtype=jnp.int32),
+                            axis=-1)
+                    else:
+                        hv = hvalid.astype(jnp.int32)
                     return jnp.concatenate([
-                        _pack_body(pk, cc, "bits"),
+                        _pack_body(pk, cc, self.body.pack_mode),
                         boxes.reshape(-1),
                         hw.reshape(-1),
-                        hvalid.astype(jnp.int32).reshape(-1)])
+                        hv.reshape(-1)])
                 return jnp.concatenate([
                     _pack_body(pk, cc, self.body.pack_mode),
                     boxes.astype(jnp.float32).reshape(-1),
@@ -847,11 +906,15 @@ class FusedPosePipeline:
         body_packed = packed[:body_len]
         rest = packed[body_len:]
         boxes = rest[:nb * 4].reshape(nb, 4).astype(np.int32)
-        if self.body.pack_mode == "bits":
+        if self.body.pack_mode in ("bits", "bits16"):
             w = rest[nb * 4:nb * 4 + nb * nh].reshape(nb, nh)
             hxy_i = np.stack([w & 0xFFFF, (w >> 16) & 0xFFFF], -1
                              ).astype(np.int32)
-            hfound = rest[nb * 4 + nb * nh:].reshape(nb, nh) > 0
+            hv = rest[nb * 4 + nb * nh:]
+            if self.body.pack_mode == "bits16":   # 21-bit masks, 1 word/hand
+                hfound = ((hv.reshape(nb, 1) >> np.arange(nh)) & 1) > 0
+            else:
+                hfound = hv.reshape(nb, nh) > 0
             peaks = np.where(hfound[:, :, None], hxy_i, 0)
             return body_packed, boxes, peaks
         hxy = rest[nb * 4:nb * 4 + nb * nh * 2].reshape(nb, nh, 2)

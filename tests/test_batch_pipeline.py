@@ -419,6 +419,42 @@ def test_bits_pack_mode_matches_nook(rng, monkeypatch):
         np.testing.assert_array_equal(sub_n, sub_b)
 
 
+def test_bits16_pack_mode_close_to_bits(rng, monkeypatch):
+    """pack_mode='bits16' (score planes as two f16 per word, hand-found
+    bits in one word per hand): integer planes stay bit-identical to
+    'bits'; score planes round to f16 (~5e-4 relative — below the
+    production bf16 compute path's own divergence, PARITY.md)."""
+    from islx.core.config import HandConfig, PoseConfig
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import FusedPosePipeline, _body_pack_len
+
+    frames = (rng.rand(2, 48, 48, 3) * 255).astype(np.uint8)
+    bp, hp = cpm.init_params("body25"), cpm.init_params("hand")
+    outs = {}
+    for mode in ("bits", "bits16"):
+        monkeypatch.setenv("ISLX_PACK_MODE", mode)
+        pipe = FusedPosePipeline(
+            bp, hp, pose_cfg=PoseConfig(model_type="body25", max_peaks=8),
+            hand_cfg=HandConfig(scale_search=(0.25,)),
+            compute_dtype=jnp.float32)
+        packed = np.asarray(pipe.device_step(frames, thre1=0.02))
+        if mode == "bits16":   # ~65% of the bits words on the body section
+            assert _body_pack_len(2, 25, 8, 24, 48, "bits16") < \
+                0.7 * _body_pack_len(2, 25, 8, 24, 48, "bits")
+        body, boxes, peaks = pipe.unpack(packed, 2)
+        outs[mode] = (pipe.body.unpack(body, 2), boxes, peaks)
+    (pl_a, box_a, pk_a), (pl_b, box_b, pk_b) = outs["bits"], outs["bits16"]
+    np.testing.assert_array_equal(box_a, box_b)
+    np.testing.assert_array_equal(pk_a, pk_b)
+    names = ("xy", "score", "count", "pair", "cscore", "cok")
+    for name, a, b in zip(names, pl_a, pl_b):
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-3,
+                                       err_msg=name)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_production_hand_config(monkeypatch):
     """HandConfig.production(): 184px default (PARITY.md #7), env override,
     explicit-arg priority; FusedPosePipeline picks it up as its default."""

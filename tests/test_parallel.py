@@ -86,18 +86,20 @@ def test_batched_forward_sharded_matches_single(mesh8):
     np.testing.assert_allclose(want, got, atol=1e-4)
 
 
-def test_fused_pose_pipeline_on_mesh(mesh8):
+def test_fused_pose_pipeline_on_mesh(mesh8, monkeypatch):
     """Data-parallel FusedPosePipeline: sharded frames produce the same
     results as the single-device program (params replicate; the crop
     gather all-gathers the u8 frame buffer).
 
-    Compared through unpack(), not on the raw buffer: the default 'bits'
-    packing bitcasts f32 score planes into s32 words, where the 1-ulp float
-    drift between partitioned and single-device reductions shows up as
-    integer deltas in the thousands — semantically it is still a <=1e-4
-    score difference."""
+    Pinned to the bit-exact 'bits' packing (the production 'bits16' rounds
+    scores through f16, which would mask — or amplify, at f16 rounding
+    boundaries — the 1-ulp partitioned-reduction drift this test bounds)
+    and compared through unpack(), not on the raw buffer: bitcast f32 words
+    turn that 1-ulp drift into integer deltas in the thousands."""
     from islx.core.config import HandConfig, PoseConfig
     from islx.pipeline.batch_pose import FusedPosePipeline
+
+    monkeypatch.setenv("ISLX_PACK_MODE", "bits")
 
     rng = np.random.RandomState(0)
     b, hb, wb = 8, 48, 48

@@ -537,24 +537,41 @@ def stage_packab():
                 print("[packab] int8 pytrees from .bench_cache")
                 break
 
-    pipes, results = {}, {}
-    for mode in ("nook", "bits"):
+    modes = os.environ.get("ISLX_PACKAB_MODES", "nook,bits,bits16"
+                           ).split(",")
+    pipes, results, planes = {}, {}, {}
+    for mode in modes:
         os.environ["ISLX_PACK_MODE"] = mode
         pipes[mode] = FusedPosePipeline(bp, hp, compute_dtype=jnp.bfloat16)
         packed = pipes[mode].device_step_flat(
             jnp.asarray(frames_yuv), B, hb, wb, (h0, w0), 0.4,
             input_format="yuv420")
-        results[mode] = pipes[mode].assemble(packed, B)
+        body, boxes, peaks = pipes[mode].unpack(np.asarray(packed), B)
+        planes[mode] = (pipes[mode].body.unpack(body, B), boxes, peaks)
+        if mode in ("nook", "bits"):
+            results[mode] = pipes[mode].assemble(packed, B)
         print(f"[packab] {mode} packed words/frame: {packed.size // B} "
               f"({packed.dtype})")
     os.environ.pop("ISLX_PACK_MODE", None)
 
-    (ra, xa, pa), (rb, xb, pb) = results["nook"], results["bits"]
-    ok = (np.array_equal(xa, xb) and np.array_equal(pa, pb)
-          and all(np.array_equal(c1, c2) and np.array_equal(s1, s2)
-                  for (c1, s1), (c2, s2) in zip(ra, rb)))
-    print(f"[packab] assembled equality across {B} frames: "
-          f"{'PASS' if ok else 'FAIL'}")
+    if "nook" in results and "bits" in results:
+        (ra, xa, pa), (rb, xb, pb) = results["nook"], results["bits"]
+        ok = (np.array_equal(xa, xb) and np.array_equal(pa, pb)
+              and all(np.array_equal(c1, c2) and np.array_equal(s1, s2)
+                      for (c1, s1), (c2, s2) in zip(ra, rb)))
+        print(f"[packab] nook/bits assembled equality across {B} frames: "
+              f"{'PASS' if ok else 'FAIL'}")
+    if "bits" in planes and "bits16" in planes:
+        (pl_a, box_a, pk_a) = planes["bits"]
+        (pl_b, box_b, pk_b) = planes["bits16"]
+        ok = np.array_equal(box_a, box_b) and np.array_equal(pk_a, pk_b)
+        for a, bpl in zip(pl_a, pl_b):
+            if a.dtype.kind == "f":
+                ok = ok and np.allclose(bpl, a, rtol=1e-3, atol=1e-3)
+            else:
+                ok = ok and np.array_equal(a, bpl)
+        print(f"[packab] bits16 vs bits planes (ints exact, scores ~f16): "
+              f"{'PASS' if ok else 'FAIL'}")
 
     counter = [0]
 
