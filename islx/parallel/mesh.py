@@ -41,6 +41,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC layout: batch over ``data``, width over ``model`` (dp x sp).
+
+    Spatial partitioning serves the few-large-frames regime (4K multi-person
+    scenes) where the batch alone can't fill the mesh: each chip owns a
+    vertical stripe of its frames and XLA inserts halo exchanges
+    (collective-permutes of 1-2 edge columns) around the 3x3 convs. Rides
+    the same mesh axis as head tensor parallelism — spatial stripes ARE the
+    conv analogue of TP."""
+    return NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -86,6 +86,23 @@ def test_batched_forward_sharded_matches_single(mesh8):
     np.testing.assert_allclose(want, got, atol=1e-4)
 
 
+def test_spatial_forward_matches_single(mesh8):
+    """Spatially-partitioned CPM forward (width striped over the model
+    axis, batch over data; XLA inserts conv halo exchanges) matches the
+    single-device forward. W=64 -> /8 grid 8 -> 4 columns per model shard."""
+    params = cpm.init_params("body25", jax.random.PRNGKey(4))
+    x = np.random.RandomState(1).rand(4, 32, 64, 3).astype(np.float32)
+    single = S.make_batched_forward("body25", None, jnp.float32)
+    spatial = S.make_spatial_forward("body25", mesh8, jnp.float32)
+    want = single(params, jnp.asarray(x))
+    got = spatial(M.shard_cpm_params(params, mesh8),
+                  jax.device_put(jnp.asarray(x), M.spatial_sharding(mesh8)))
+    for name, w, g in zip(("paf", "heat"), want, got):
+        assert g.sharding.spec == M.spatial_sharding(mesh8).spec, name
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-4,
+                                   err_msg=name)
+
+
 def test_fused_pose_pipeline_on_mesh(mesh8, monkeypatch):
     """Data-parallel FusedPosePipeline: sharded frames produce the same
     results as the single-device program (params replicate; the crop
