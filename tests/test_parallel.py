@@ -86,6 +86,61 @@ def test_batched_forward_sharded_matches_single(mesh8):
     np.testing.assert_allclose(want, got, atol=1e-4)
 
 
+@pytest.mark.parametrize("model_type", ["body25", "coco", "hand"])
+def test_pipelined_forward_matches_single(model_type):
+    """GPipe pipeline parallelism: stage segments on distinct devices,
+    microbatches flowing device-to-device, outputs identical to the
+    single-device forward. Segment params must partition the full param
+    set (each name on exactly one device)."""
+    from islx.parallel.pipeline import PipelinedCPM
+
+    devices = jax.devices()[:3]
+    params = cpm.init_params(model_type, jax.random.PRNGKey(5))
+    pipe = PipelinedCPM(params, model_type, devices, jnp.float32)
+
+    seen = []
+    for seg in pipe.segments:
+        for name, entry in seg["params"].items():
+            for v in entry.values():
+                assert v.devices() == {seg["device"]}, name
+        seen += list(seg["params"])
+    assert sorted(seen) == sorted(params), "segments must partition params"
+
+    x = jnp.asarray(np.random.RandomState(2).rand(4, 24, 32, 3), jnp.float32)
+    want = cpm.FORWARDS[model_type](params, x, jnp.float32)
+    got = pipe.forward(x, n_micro=2)
+    for w, g in zip(want if isinstance(want, tuple) else (want,),
+                    got if isinstance(got, tuple) else (got,)):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), atol=1e-5)
+
+
+def test_pipelined_grads_match_full_batch(rng):
+    """GPipe gradient accumulation (per-microbatch reverse passes, averaged)
+    equals the full-batch gradient of the same MSE objective."""
+    from islx.parallel.pipeline import PipelinedCPM
+
+    devices = jax.devices()[:2]
+    params = cpm.init_params("hand", jax.random.PRNGKey(6))
+    pipe = PipelinedCPM(params, "hand", devices, jnp.float32)
+
+    x = jnp.asarray(rng.rand(4, 16, 16, 3), jnp.float32)
+    t = jnp.asarray(rng.rand(4, 2, 2, 22), jnp.float32)
+    loss, seg_grads = pipe.grads(x, t, n_micro=2)
+
+    def full_loss(p):
+        out = cpm.hand_forward(p, x, jnp.float32)
+        return jnp.mean((out - t) ** 2)
+
+    want_loss, want_g = jax.value_and_grad(full_loss)(params)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+    got_g = {n: g for seg in seg_grads for n, g in seg.items()}
+    for name, entry in want_g.items():
+        for k, v in entry.items():
+            np.testing.assert_allclose(
+                np.asarray(got_g[name][k]), np.asarray(v),
+                atol=1e-5, rtol=1e-4, err_msg=f"{name}/{k}")
+
+
 def test_spatial_forward_matches_single(mesh8):
     """Spatially-partitioned CPM forward (width striped over the model
     axis, batch over data; XLA inserts conv halo exchanges) matches the
