@@ -35,6 +35,11 @@ def main(argv=None):
                    help="after N served frames, calibrate on the live "
                         "traffic and swap in int8 (W8A8) trunks "
                         "(~1.8x MXU; validate accuracy for your workload)")
+    p.add_argument("--aot-dir", default=None, metavar="DIR",
+                   help="warm-start from AOT program artifacts exported by "
+                        "`python -m islx.cli.export_programs` (matching "
+                        "platform/batch/resolution artifacts skip the "
+                        "in-process compile entirely)")
     args = p.parse_args(argv)
 
     pipe = FusedPosePipeline(
@@ -46,7 +51,8 @@ def main(argv=None):
     server = PoseServer(pipe, args.host, args.port,
                         max_batch=args.max_batch,
                         max_wait_ms=args.max_wait_ms,
-                        quantize_after=args.int8_after)
+                        quantize_after=args.int8_after,
+                        aot_dir=args.aot_dir)
     print(f"serving on http://{args.host}:{server.port}  "
           f"(POST /pose, GET /healthz)")
     try:

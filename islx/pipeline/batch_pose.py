@@ -873,15 +873,23 @@ class FusedPosePipeline:
             for key in [k for k in cache if bucket_of(k) == (hb, wb)]:
                 del cache[key]
 
+    def program_key(self, b: int, hb: int, wb: int,
+                    orig_hw: Tuple[int, int],
+                    input_format: str = "bgr") -> tuple:
+        """The program-cache key a step with these shapes dispatches to
+        (also the identity of an AOT artifact — islx.core.aot)."""
+        return (b, hb, wb, float(orig_hw[0] / hb), float(orig_hw[1] / wb),
+                input_format)
+
     def device_step_flat(self, flat: jax.Array, b: int, hb: int, wb: int,
                          orig_hw: Tuple[int, int],
                          thre1: Optional[float] = None,
                          input_format: str = "bgr") -> jax.Array:
         """input_format: 'bgr' (flat u8 [b*hb*wb*3]) or 'yuv420' (flat u8
         I420 planes, [b*hb*wb*3/2] — half the upload bytes)."""
-        sy, sx = orig_hw[0] / hb, orig_hw[1] / wb
         t1 = jnp.float32(self.body.cfg.thre1 if thre1 is None else thre1)
-        return self._program(b, hb, wb, sy, sx, input_format)(
+        return self._program(*self.program_key(b, hb, wb, orig_hw,
+                                               input_format))(
             self.body.params, self.hand.params, flat, t1)
 
     def device_step(self, frames: np.ndarray,

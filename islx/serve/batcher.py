@@ -41,12 +41,22 @@ class MicroBatcher:
     def __init__(self, pipe, max_batch: int = 8, max_wait_ms: float = 15.0,
                  target_h: int = 184,
                  quantize_after: Optional[int] = None,
-                 max_resolutions: int = 8):
+                 max_resolutions: int = 8,
+                 aot_dir: Optional[str] = None):
         from collections import OrderedDict
 
         from islx.pipeline.batch_pose import bucket_for
 
         self.pipe = pipe
+        # AOT warm start: install pre-compiled program artifacts
+        # (islx.core.aot, python -m islx.cli.export_programs) so the first
+        # request at an exported (batch, resolution) dispatches immediately
+        # instead of paying the 20-40s in-process compile
+        self.aot_loaded: list = []
+        if aot_dir:
+            from islx.core import aot
+
+            self.aot_loaded = aot.preload_dir(pipe, aot_dir, verbose=True)
         self.max_batch = int(max_batch)
         self.max_wait = max_wait_ms / 1000.0
         self.target_h = target_h

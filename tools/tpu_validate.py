@@ -594,6 +594,63 @@ def stage_packab():
                   f"= {B / ms * 1000:.0f} fps (fetch-inclusive)")
 
 
+def _aot_fixture():
+    """Deterministic (pipe, frames, orig_hw) shared by aotsave/aotload —
+    the two stages run in SEPARATE processes (one TPU process at a time),
+    so everything they compare must rebuild identically from seeds."""
+    import cv2
+
+    from islx.models import cpm
+    from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
+
+    B, (h0, w0) = 8, (512, 384)
+    hb, wb = bucket_for(h0, w0, target_h=184)
+    img = (np.random.RandomState(0).rand(h0, w0, 3) * 255).astype(np.uint8)
+    frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
+    frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
+    pipe = FusedPosePipeline(cpm.init_params("body25"),
+                             cpm.init_params("hand"))
+    return pipe, frames, (h0, w0), B, hb, wb
+
+
+def stage_aotsave():
+    """Export the fused program as a serialized-executable artifact +
+    reference results; run stage `aotload` in a FRESH process next."""
+    from islx.core import aot
+
+    pipe, frames, hw0, B, hb, wb = _aot_fixture()
+    t0 = time.time()
+    packed = np.asarray(pipe.device_step(frames, hw0, thre1=0.05))
+    t_compile = time.time() - t0
+    os.makedirs("/tmp/islx_aot", exist_ok=True)
+    t0 = time.time()
+    meta = aot.save_fused(pipe, "/tmp/islx_aot/fused.islxprog",
+                          B, hb, wb, hw0, kind="exe")
+    np.savez("/tmp/islx_aot/ref.npz", packed=packed)
+    print(f"[aotsave] exported kind=exe platform={meta['platform']} "
+          f"export={time.time() - t0:.1f}s "
+          f"(in-process compile+first-step was {t_compile:.1f}s)")
+
+
+def stage_aotload():
+    """Fresh-process load of the stage-`aotsave` artifact: time-to-first-
+    result vs the cold compile, and bit-equality of the packed buffer."""
+    from islx.core import aot
+
+    pipe, frames, hw0, B, hb, wb = _aot_fixture()
+    ref = np.load("/tmp/islx_aot/ref.npz")["packed"]
+    t0 = time.time()
+    key = aot.load_fused(pipe, "/tmp/islx_aot/fused.islxprog")
+    t_load = time.time() - t0
+    t0 = time.time()
+    packed = np.asarray(pipe.device_step(frames, hw0, thre1=0.05))
+    t_first = time.time() - t0
+    ok = np.array_equal(ref, packed)
+    print(f"[aotload] {'PASS' if ok else 'FAIL'} key={key} "
+          f"load={t_load:.1f}s first-step={t_first:.1f}s "
+          f"(vs 20-40s cold compile); bit-equal={ok}")
+
+
 def stage_profile():
     os.environ["BENCH_PROFILE"] = "/tmp/islx_trace"
     os.environ.setdefault("BENCH_WATCHDOG_S", "1200")
@@ -610,7 +667,8 @@ STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
           "peaksel": stage_peaksel, "pafchunk": stage_pafchunk,
           "pafmode": stage_pafmode, "stem": stage_stem,
           "nmsmask": stage_nmsmask, "fusedspan": stage_fusedspan,
-          "packab": stage_packab}
+          "packab": stage_packab,
+          "aotsave": stage_aotsave, "aotload": stage_aotload}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["kernels", "handcompile", "fused"]
