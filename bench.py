@@ -204,6 +204,24 @@ def main():
                                       (h0, w0), t1, input_format="yuv420")
         return p.device_step(frames, (h0, w0), t1)
 
+    # AOT warm start (islx.core.aot): a previous run on this host exported
+    # each config's compiled executable into .bench_cache/aot/<config>/ —
+    # loading it (~1.5s measured) replaces the 15-40s trace+lower+compile,
+    # so the scored run spends its watchdog budget measuring, not compiling.
+    # Mismatched artifacts (jax upgrade, config change) are skipped and the
+    # normal compile path rebuilds + re-exports them.
+    aot_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_cache", "aot")
+    fmt = "yuv420" if use_yuv else "bgr"
+    aot_loaded = {k: [] for k in pipes}
+    if not degraded:
+        from islx.core import aot
+
+        for k, p in pipes.items():
+            aot_loaded[k] = aot.preload_dir(p, os.path.join(aot_root, k))
+            if aot_loaded[k]:
+                _log(f"AOT program loaded for {k}: {aot_loaded[k]}")
+
     # Random weights produce noise heatmaps that saturate the peak tables and
     # make the (tiny, input-dependent) host grouping step look like the whole
     # workload. Calibrate thre1 so the peak density matches real scenes
@@ -249,6 +267,19 @@ def main():
         _log(f"warm+compile {k} ...")
         consume(pipes[k], dispatch(pipes[k]))
         _log(f"warm {k} done")
+        if not degraded:
+            # export this config's compiled program for the NEXT run
+            # (overwrites stale/mismatched artifacts; no-op when it was
+            # AOT-loaded above)
+            key = pipes[k].program_key(B, hb, wb, (h0, w0), fmt)
+            if key not in aot_loaded[k]:
+                path = os.path.join(aot_root, k, aot.artifact_name(key))
+                try:
+                    os.makedirs(os.path.dirname(path), exist_ok=True)
+                    aot.save_fused(pipes[k], path, B, hb, wb, (h0, w0), fmt)
+                    _log(f"AOT program exported for {k}")
+                except Exception as e:   # never let export block the bench
+                    _log(f"AOT export failed for {k}: {e}")
 
     def timed_run(p, n_iters: int) -> float:
         # keep TWO batches in flight: upload(i+2) and fetch(i) both overlap

@@ -50,6 +50,18 @@ def _param_specs(params):
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)
 
 
+def _params_sig(params) -> str:
+    """Short hash of a param pytree's structure + leaf shapes/dtypes. The
+    program's input avals bake this in (e.g. int8-quantized trunks carry
+    extra scale leaves), so it is part of the artifact fingerprint."""
+    import hashlib
+
+    leaves, treedef = jax.tree.flatten(params)
+    s = str(treedef) + ";".join(
+        f"{np.shape(x)}{np.result_type(x)}" for x in leaves)
+    return hashlib.sha1(s.encode()).hexdigest()[:16]
+
+
 def _fingerprint(pipe) -> dict:
     dev = jax.devices()[0]
     return {
@@ -63,6 +75,7 @@ def _fingerprint(pipe) -> dict:
         "max_peaks": pipe.body.cfg.max_peaks,
         "top_m": pipe.body.top_m,
         "hand_scales": tuple(pipe.hand.cfg.scale_search),
+        "params_sig": _params_sig((pipe.body.params, pipe.hand.params)),
         # mesh-sharded programs pin device topology; serving uses mesh=None
         "sharded": pipe.mesh is not None,
     }

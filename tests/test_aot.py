@@ -74,6 +74,18 @@ def test_aot_mismatch_refused(tiny_pipes, tmp_path, monkeypatch):
     # preload_dir skips foreign artifacts instead of failing
     assert aot.preload_dir(other, str(tmp_path)) == []
 
+    # a pipeline whose param avals differ (bf16-cast leaves here; int8
+    # scale leaves in production) must also refuse — the program's input
+    # signature baked the original tree
+    monkeypatch.setenv("ISLX_PACK_MODE", "bits")
+    bf16 = FusedPosePipeline(
+        cpm.init_params("body25"), cpm.init_params("hand"),
+        pose_cfg=PoseConfig(model_type="body25", max_peaks=8),
+        hand_cfg=HandConfig(scale_search=(0.25,)),
+        compute_dtype=jnp.bfloat16)
+    with pytest.raises(aot.AotMismatch, match="params_sig"):
+        aot.load_fused(bf16, path)
+
 
 def test_aot_preload_dir_and_key_naming(tiny_pipes, tmp_path):
     from islx.core import aot
