@@ -227,8 +227,22 @@ def main():
     # workload. Calibrate thre1 so the peak density matches real scenes
     # (a few peaks/joint); device-side work is threshold-independent — hand
     # crops run for both per-frame slots whether or not an arm was chained.
-    thre1 = 0.1
-    _log(f"compiling {headline} program (thre1 calibration) ...")
+    # deterministic given (weights seed, demo.jpg, shapes) -> cache the
+    # calibrated threshold; the loop then confirms it in ONE dispatch
+    # instead of paying up to 24 fetch-inclusive steps through the relay
+    import json
+
+    t1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_cache", "thre1.json")
+    t1_key = f"{headline}_B{B}_{hb}x{wb}_{'yuv' if use_yuv else 'bgr'}"
+    try:
+        with open(t1_path) as f:
+            t1_cache = json.load(f)
+    except Exception:
+        t1_cache = {}
+    thre1 = float(t1_cache.get(t1_key, 0.1))
+    _log(f"compiling {headline} program (thre1 calibration"
+         f"{' from cache' if t1_key in t1_cache else ''}) ...")
     for _ in range(24):
         packed = step_once(pipe, thre1)
         body_view, _, _ = pipe.unpack(packed, B)
@@ -237,6 +251,14 @@ def main():
             break
         thre1 *= 2.0
     _log(f"thre1 calibrated to {thre1}")
+    if t1_cache.get(t1_key) != thre1:
+        try:
+            os.makedirs(os.path.dirname(t1_path), exist_ok=True)
+            t1_cache[t1_key] = thre1
+            with open(t1_path, "w") as f:
+                json.dump(t1_cache, f)
+        except Exception:
+            pass
 
     # unique frame bytes per iteration: the relay memoizes executions on
     # identical input buffers (CLAUDE.md), which would let repeated dispatch
