@@ -365,6 +365,41 @@ def main():
             rec["note"] = "; ".join(notes)
         return rec
 
+    def device_span_fps(p, n: int = 4) -> float:
+        """Drift-immune device capability: profile n steps, read the fused
+        program's per-step XLA module span out of the xplane trace (device
+        busy time — the relay's transfer jitter can't touch it) -> fps."""
+        import shutil
+        import tempfile
+        from collections import defaultdict
+
+        from islx.utils.profiling import trace
+        from tools.trace_summary import parse_xspace
+
+        d = tempfile.mkdtemp(prefix="islx_span_")
+        try:
+            with trace(d):
+                handles = [dispatch(p) for _ in range(n)]
+                for h in handles:
+                    consume(p, h)
+            pbs = []
+            for dirpath, _, files in os.walk(d):
+                pbs += [os.path.join(dirpath, f) for f in files
+                        if f.endswith(".xplane.pb")]
+            spans = defaultdict(list)
+            for name, lines, meta in parse_xspace(
+                    open(max(pbs, key=os.path.getmtime), "rb").read()):
+                if "TPU" not in name.upper():
+                    continue
+                for mid, dur in lines.get("XLA Modules", []):
+                    spans[meta.get(mid, f"id{mid}")].append(dur / 1e9)
+            # the fused program is the module with the largest total span
+            steps = max(spans.values(),
+                        key=lambda v: float(np.sum(v)))
+            return B * 1000.0 / float(np.median(steps))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     # drift defense: one throwaway window absorbs ambient warm-up, then
     # interleaved windows per config (relay drift hits both equally);
     # variance-triggered extension up to 7 windows per config.
@@ -435,7 +470,17 @@ def main():
                            "ts": time.time()}, f)
         except OSError:
             pass
-    print(json.dumps(mk_record(results)))
+    rec = mk_record(results)
+    # on-device capability (module span) alongside the relay-bound wall fps:
+    # the honest statement of what the chip does vs what the tunnel allows
+    if not degraded and os.environ.get("ISLX_BENCH_SPAN", "1") != "0":
+        try:
+            rec["device_fps"] = round(
+                device_span_fps(pipes[rec["headline_config"]]), 1)
+            _log(f"device module-span fps = {rec['device_fps']}")
+        except Exception as e:   # profiling must never cost the record
+            _log(f"device-span capture failed: {type(e).__name__}: {e}")
+    print(json.dumps(rec))
 
 
 _PARTIAL = {}         # best-so-far record, printed by the watchdog on stall
