@@ -50,8 +50,11 @@ def main(argv=None):
 
         from islx.models import quant
 
+        from islx.core.config import HandConfig
+
+        hcfg = HandConfig.production()
+        hsize = int(np.rint(hcfg.scale_search[0] * hcfg.boxsize))
         cal = [np.zeros((1, args.target_h, args.target_h, 3), np.float32)]
-        hsize = 184
         bp = quant.quantize_model(bp, args.model_type, cal)
         hp = quant.quantize_model(
             hp, "hand", [np.zeros((1, hsize, hsize, 3), np.float32)])

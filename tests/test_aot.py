@@ -6,6 +6,8 @@ produce bit-identical packed results — the serving warm-start path
 The reference has no ahead-of-time/deployment surface at all (demos build
 models synchronously per process, /root/reference/demo_video.py:48-49).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -99,6 +101,23 @@ def test_aot_preload_dir_and_key_naming(tiny_pipes, tmp_path):
     dst = tiny_pipes()
     keys = aot.preload_dir(dst, str(tmp_path))
     assert keys == [key]
+
+
+def test_export_programs_cli(tmp_path, monkeypatch):
+    """islx.cli.export_programs writes a loadable artifact for each --orig
+    (tiny shapes; hlo kind on CPU)."""
+    from islx.cli import export_programs
+
+    monkeypatch.setenv("ISLX_PACK_MODE", "bits")
+    out = str(tmp_path / "aot")
+    export_programs.main(["--out", out, "--batch", "1",
+                          "--orig", "48x48", "--target-h", "48"])
+    files = [f for f in os.listdir(out) if f.endswith(".islxprog")]
+    assert len(files) == 1
+    from islx.core import aot
+
+    meta = aot.read_meta(os.path.join(out, files[0]))
+    assert meta["kind"] == "hlo" and meta["key"][0] == 1
 
 
 def test_microbatcher_aot_warm_start(tiny_pipes, tmp_path, rng):
