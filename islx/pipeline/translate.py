@@ -56,6 +56,10 @@ class BatchedTranslatePipeline:
         # one hand crop per arm side — the ISL 156-dim feature contract
         # (body 78 + left hand 39 + right hand 39, islx.isl.features)
         self.max_hands = FusedPosePipeline.MAX_HANDS
+        # runtime peak-threshold override (traced scalar — changing it never
+        # recompiles); None = pose_cfg.thre1. Lets callers calibrate on live
+        # output density (tools/translate_bench.py does, for random weights)
+        self.thre1: Optional[float] = None
         self.head_params = (head_params if head_params is not None
                             else T.init_params(cfg))
         self._head = jax.jit(lambda p, x: T.forward(p, x))
@@ -71,7 +75,8 @@ class BatchedTranslatePipeline:
         """Async: upload + dispatch the fused program, return handles."""
         b, hb, wb = frames_bucketed.shape[:3]
         flat = self.pipe.upload_frames(frames_bucketed)
-        packed = self.pipe.device_step_flat(flat, b, hb, wb, orig_hw)
+        packed = self.pipe.device_step_flat(flat, b, hb, wb, orig_hw,
+                                            self.thre1)
         return packed, (b, hb, wb)
 
     def finish_batch(self, handles, orig_hw: Tuple[int, int]
@@ -234,7 +239,7 @@ class BatchedTranslatePipeline:
                 flat_batches(iter(flat_frames), self.batch), depth=2):
             packed = self.pipe.device_step_flat(
                 jnp.asarray(flat), self.batch, hb, wb, orig_hw,
-                input_format="yuv420")
+                self.thre1, input_format="yuv420")
             if pending is not None:
                 finish(*pending)
             pending = (packed, n_valid)

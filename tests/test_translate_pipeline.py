@@ -158,3 +158,21 @@ def test_translate_yuv_stream(stubbed_pipeline, rng):
 
     bgr_out = stubbed_pipeline.translate_frames(iter(frames))
     assert [o[:2] for o in out] == [o[:2] for o in bgr_out]
+
+
+def test_thre1_override(stubbed_pipeline, rng):
+    """tp.thre1 reaches the fused program as the traced peak threshold:
+    above the stub heatmaps' 0.9 amplitude no peaks (hence no people)
+    survive; resetting to None restores the config threshold."""
+    frames = np.stack([(rng.rand(96, 64, 3) * 255).astype(np.uint8)
+                       for _ in range(4)])
+    feats = stubbed_pipeline.process_batch(frames, (96, 64))
+    assert any(np.any(f != 0) for f in feats)
+
+    stubbed_pipeline.thre1 = 2.0          # > stub peak amplitude
+    feats_hi = stubbed_pipeline.process_batch(frames, (96, 64))
+    assert all(np.all(f == 0) for f in feats_hi)
+
+    stubbed_pipeline.thre1 = None
+    feats_back = stubbed_pipeline.process_batch(frames, (96, 64))
+    np.testing.assert_array_equal(np.stack(feats_back), np.stack(feats))
