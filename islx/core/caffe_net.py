@@ -251,9 +251,16 @@ def _pool_apply(params, inputs, spec):
     ph, pw = _ints(p, "pad", 0)
     x = inputs[0]
     h, w = x.shape[2], x.shape[3]
-    # caffe sizes pooling with CEIL: out = ceil((H + 2p - k)/s) + 1
+    # caffe sizes pooling with CEIL: out = ceil((H + 2p - k)/s) + 1,
+    # then clips the last window to start inside the image+pad (PoolingLayer
+    # ::Reshape: if ((pooled-1)*stride >= height + pad) --pooled) — torch's
+    # ceil_mode=True applies the same rule
     oh = -(-(h + 2 * ph - kh) // sh) + 1
     ow = -(-(w + 2 * pw - kw) // sw) + 1
+    if ph and (oh - 1) * sh >= h + ph:
+        oh -= 1
+    if pw and (ow - 1) * sw >= w + pw:
+        ow -= 1
     eh = (oh - 1) * sh + kh - (h + 2 * ph)  # extra bottom pad for ceil
     ew = (ow - 1) * sw + kw - (w + 2 * pw)
     mode = _one(p, "pool", "MAX")
@@ -336,12 +343,15 @@ def _concat_apply(params, inputs, spec):
 
 
 def _softmax_loss_apply(params, inputs, spec):
+    """SoftmaxWithLoss: softmax over channel axis 1, NLL averaged over the
+    batch AND every spatial position (caffe's normalize=true default; for
+    [N,C,H,W] scores with [N,H,W] per-pixel labels this is the dense
+    segmentation/heatmap loss, == torch F.cross_entropy 'mean')."""
     scores, labels = inputs[0], inputs[1]
-    logp = jax.nn.log_softmax(scores, axis=1)
-    lbl = labels.astype(jnp.int32).reshape(labels.shape[0], -1)[:, 0]
-    nll = -jnp.take_along_axis(
-        logp.reshape(logp.shape[0], logp.shape[1], -1)[:, :, 0],
-        lbl[:, None], axis=1)
+    n, c = scores.shape[0], scores.shape[1]
+    logp = jax.nn.log_softmax(scores, axis=1).reshape(n, c, -1)   # [N,C,S]
+    lbl = labels.astype(jnp.int32).reshape(n, -1)                 # [N,S]
+    nll = -jnp.take_along_axis(logp, lbl[:, None, :], axis=1)[:, 0, :]
     return (jnp.mean(nll),)
 
 
@@ -577,29 +587,27 @@ class SGDSolver:
                 wd_m[spec.name][part] = float(_one(opt, "decay_mult", 1))
         return lr_m, wd_m
 
-    def step(self, iterations: int = 1, **inputs) -> float:
+    def _build_update(self):
+        """One jitted (params, vel, lr, variables) -> (loss, params, vel)
+        program, built ONCE: the training batch is a traced argument, so
+        repeated step() calls reuse the compiled executable (a new batch
+        shape retraces via jit's own signature cache, not a rebuild)."""
         net = self.net
-        variables = {k: jnp.asarray(np.asarray(v, np.float32))
-                     for k, v in inputs.items()}
-        net._ensure_params(variables)
         lw = net.blob_loss_weights
         loss_tops = [t for t, w in lw.items() if w]
-
-        def loss_fn(params):
-            out = net._run(params, variables, True)
-            return sum(lw[t] * jnp.sum(out[t]) for t in loss_tops)
-
-        if self._velocity is None:
-            self._velocity = jax.tree.map(jnp.zeros_like, net.params)
         lr_m, wd_m = self._multipliers()
+        momentum, weight_decay = self.momentum, self.weight_decay
 
-        @jax.jit
-        def update(params, vel, lr):
+        def update(params, vel, lr, variables):
+            def loss_fn(params):
+                out = net._run(params, variables, True)
+                return sum(lw[t] * jnp.sum(out[t]) for t in loss_tops)
+
             loss, grads = jax.value_and_grad(loss_fn)(params)
 
             def upd(p, g, v, lm, dm):
-                g = g + self.weight_decay * dm * p
-                v = self.momentum * v + lr * lm * g
+                g = g + weight_decay * dm * p
+                v = momentum * v + lr * lm * g
                 return p - v, v
 
             new_p, new_v = {}, {}
@@ -615,12 +623,24 @@ class SGDSolver:
                     new_p[name][part], new_v[name][part] = q, v
             return loss, new_p, new_v
 
+        return jax.jit(update)
+
+    def step(self, iterations: int = 1, **inputs) -> float:
+        net = self.net
+        variables = {k: jnp.asarray(np.asarray(v, np.float32))
+                     for k, v in inputs.items()}
+        net._ensure_params(variables)
+        if self._velocity is None:
+            self._velocity = jax.tree.map(jnp.zeros_like, net.params)
+        if self._update is None:
+            self._update = self._build_update()
+
         total = 0.0
         for _ in range(iterations):
             loss = 0.0
             for _ in range(self.iter_size):
-                l, net.params, self._velocity = update(
-                    net.params, self._velocity, self._lr())
+                l, net.params, self._velocity = self._update(
+                    net.params, self._velocity, self._lr(), variables)
                 loss += float(l) / self.iter_size
             total += loss
             self.iter += 1

@@ -130,7 +130,7 @@ def select_connections_sorted(pair: np.ndarray, score: np.ndarray,
 
 
 class _People:
-    """Growing person table with an (slot, part-id) -> row index so each
+    """Growing person table with an (slot, part-id) -> rows index so each
     connection resolves its owning rows by TWO dict lookups instead of the
     reference's linear table scan (semantics per src/body.py:182-231; the
     native kernel in native/grouping.cpp is the third, C++ formulation).
@@ -139,23 +139,33 @@ class _People:
     part ids (-1 empty), [-2] accumulated score, [-1] part count. Row order
     (== reference scan order) is the insertion order of the ``rows`` list;
     merges keep the earlier row and drop the later one.
+
+    The index maps each (slot, gid) to a LIST of rows: the reference's
+    found==2 non-disjoint branch (src/body.py:214-217) writes partB into
+    row j1 while row j2 still holds it, so two rows can own the same
+    (slot, gid) and a later probe of that key must see both. (With the
+    shipped body25/coco limb tables such a duplicated key is never probed
+    again — each slot is indexB of at most one earlier limb — but
+    group_people accepts arbitrary limb tables, and the C++ kernel's
+    linear scan would see both.)
     """
 
     def __init__(self, njoint: int):
         self.njoint = njoint
         self.rows: List[np.ndarray] = []
-        self._owner: dict = {}   # (slot, int(gid)) -> row object
+        self._owner: dict = {}   # (slot, int(gid)) -> [row objects]
 
     def find(self, slot_a: int, gid_a: float, slot_b: int, gid_b: float):
-        """Rows owning (slot_a, gid_a) / (slot_b, gid_b), in table order."""
-        ra = self._owner.get((slot_a, int(gid_a)))
-        rb = self._owner.get((slot_b, int(gid_b)))
-        if ra is None:
-            return [rb] if rb is not None else []
-        if rb is None or rb is ra:
-            return [ra]
-        pa, pb = self._pos(ra), self._pos(rb)
-        return [ra, rb] if pa < pb else [rb, ra]
+        """First two rows owning (slot_a, gid_a) or (slot_b, gid_b), in
+        table order — the reference's scan records at most two matches
+        (src/body.py:193-197)."""
+        owners = list(self._owner.get((slot_a, int(gid_a)), ()))
+        for r in self._owner.get((slot_b, int(gid_b)), ()):
+            if not any(r is o for o in owners):
+                owners.append(r)
+        if len(owners) > 1:
+            owners.sort(key=self._pos)
+        return owners[:2]
 
     def _pos(self, row) -> int:
         for i, r in enumerate(self.rows):
@@ -163,12 +173,24 @@ class _People:
                 return i
         raise KeyError("row not in table")
 
+    def _unlist(self, row, slot: int, gid: float) -> None:
+        lst = self._owner.get((slot, int(gid)))
+        if lst is not None:
+            for i, r in enumerate(lst):
+                if r is row:
+                    del lst[i]
+                    break
+            if not lst:
+                del self._owner[(slot, int(gid))]
+
     def claim(self, row, slot: int, gid: float) -> None:
         old = row[slot]
         if old >= 0:
-            self._owner.pop((slot, int(old)), None)
+            self._unlist(row, slot, old)
         row[slot] = gid
-        self._owner[(slot, int(gid))] = row
+        lst = self._owner.setdefault((slot, int(gid)), [])
+        if not any(r is row for r in lst):
+            lst.append(row)
 
     def add_part(self, row, slot: int, gid: float, part_score: float,
                  conn_score: float, force: bool = False) -> None:
@@ -201,7 +223,13 @@ class _People:
         take = r2[:-2] >= 0
         r1[:-2] = np.where(take, r2[:-2], r1[:-2])
         for slot in np.nonzero(take)[0]:
-            self._owner[(int(slot), int(r2[slot]))] = r1
+            # transfer r2's ownership entry to r1 in place (r1 held -1 at
+            # every taken slot — disjointness — so it is not in the list)
+            lst = self._owner[(int(slot), int(r2[slot]))]
+            for i, r in enumerate(lst):
+                if r is r2:
+                    lst[i] = r1
+                    break
         r1[-2:] += r2[-2:]
         r1[-2] += conn_score
         del self.rows[self._pos(r2)]  # by identity; list.remove would == arrays

@@ -117,6 +117,33 @@ def score_limbs(paf: jax.Array, peaks_xy: jax.Array, peaks_valid: jax.Array,
     return LimbScores(score=swdp, ok=ok)
 
 
+def _pair_samples8(peaks_xy: jax.Array, peaks_valid: jax.Array,
+                   limb: jax.Array, stride: int, h8: int, w8: int,
+                   mid_num: int):
+    """Shared /8-grid line-sampling preamble of the mxu/cell/fused PAF
+    variants — ONE definition so the 'identical crit1/ok booleans across
+    all /8 modes' invariant (tests/test_batch_pipeline.py) cannot drift
+    between copies.
+
+    Full-resolution K x K pair geometry + the nearest-/8-cell index of each
+    of the ``mid_num`` line samples (upsample phase: src = (p+.5)/stride-.5).
+    Returns (unit [K,K,2], norm [K,K], valid [K,K] bool, cell [K,K,mid] s32).
+    """
+    a_xy = peaks_xy[limb[0]].astype(jnp.float32)      # [K,2]
+    b_xy = peaks_xy[limb[1]].astype(jnp.float32)
+    valid = peaks_valid[limb[0]][:, None] & peaks_valid[limb[1]][None, :]
+    vec = b_xy[None, :, :] - a_xy[:, None, :]          # [K,K,2]
+    norm = jnp.maximum(jnp.sqrt((vec * vec).sum(-1)), 0.001)
+    unit = vec / norm[..., None]
+    t = jnp.linspace(0.0, 1.0, mid_num)
+    pts = a_xy[:, None, None, :] + vec[:, :, None, :] * t[None, None, :, None]
+    cx = jnp.clip(jnp.rint((pts[..., 0] + 0.5) / stride - 0.5),
+                  0, w8 - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.rint((pts[..., 1] + 0.5) / stride - 0.5),
+                  0, h8 - 1).astype(jnp.int32)
+    return unit, norm, valid, cy * w8 + cx
+
+
 def score_limbs_mxu(paf8: jax.Array, peaks_xy: jax.Array,
                     peaks_valid: jax.Array, limb_seq: jax.Array,
                     map_idx: jax.Array, stride: int = 8,
@@ -145,21 +172,9 @@ def score_limbs_mxu(paf8: jax.Array, peaks_xy: jax.Array,
 
     def one(args):
         limb, chans = args
-        a_xy = peaks_xy[limb[0]].astype(jnp.float32)      # [K,2]
-        b_xy = peaks_xy[limb[1]].astype(jnp.float32)
-        a_valid, b_valid = peaks_valid[limb[0]], peaks_valid[limb[1]]
-        vec = b_xy[None, :, :] - a_xy[:, None, :]          # [K,K,2]
-        norm = jnp.maximum(jnp.sqrt((vec * vec).sum(-1)), 0.001)
-        unit = vec / norm[..., None]
-
-        t = jnp.linspace(0.0, 1.0, mid_num)
-        pts = a_xy[:, None, None, :] + vec[:, :, None, :] * t[None, None, :, None]
-        # full-res point -> nearest /8 cell (upsample phase: src=(p+.5)/8-.5)
-        cx = jnp.clip(jnp.rint((pts[..., 0] + 0.5) / stride - 0.5),
-                      0, w8 - 1).astype(jnp.int32)
-        cy = jnp.clip(jnp.rint((pts[..., 1] + 0.5) / stride - 0.5),
-                      0, h8 - 1).astype(jnp.int32)
-        cell = (cy * w8 + cx).reshape(-1)                  # [K*K*mid]
+        unit, norm, valid, cell = _pair_samples8(
+            peaks_xy, peaks_valid, limb, stride, h8, w8, mid_num)
+        cell = cell.reshape(-1)                            # [K*K*mid]
         onehot = (cell[:, None]
                   == jax.lax.broadcasted_iota(jnp.int32, (1, cells), 1)
                   ).astype(paf_flat.dtype)
@@ -171,7 +186,7 @@ def score_limbs_mxu(paf8: jax.Array, peaks_xy: jax.Array,
         prior = jnp.minimum(0.5 * orig_h / norm - 1.0, 0.0)
         swdp = score_mid.mean(-1) + prior
         crit1 = (score_mid > thre2).sum(-1) > 0.8 * mid_num
-        ok = crit1 & (swdp > 0) & a_valid[:, None] & b_valid[None, :]
+        ok = crit1 & (swdp > 0) & valid
         return swdp, ok
 
     # Limb sequencing, module-span-profiled at B=192 (tools/tpu_validate.py
@@ -233,22 +248,10 @@ def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
 
     def one(args):
         limb, chans = args
-        a_xy = peaks_xy[limb[0]].astype(jnp.float32)      # [K,2]
-        b_xy = peaks_xy[limb[1]].astype(jnp.float32)
-        a_valid, b_valid = peaks_valid[limb[0]], peaks_valid[limb[1]]
-        vec = b_xy[None, :, :] - a_xy[:, None, :]          # [K,K,2]
-        norm = jnp.maximum(jnp.sqrt((vec * vec).sum(-1)), 0.001)
-        unit = (vec / norm[..., None]).reshape(k * k, 2)
-
-        t = jnp.linspace(0.0, 1.0, mid_num)
-        pts = (a_xy[:, None, None, :]
-               + vec[:, :, None, :] * t[None, None, :, None])
-        # full-res point -> nearest /8 cell (same mapping as score_limbs_mxu)
-        cx = jnp.clip(jnp.rint((pts[..., 0] + 0.5) / stride - 0.5),
-                      0, w8 - 1).astype(jnp.int32)
-        cy = jnp.clip(jnp.rint((pts[..., 1] + 0.5) / stride - 0.5),
-                      0, h8 - 1).astype(jnp.int32)
-        cell = (cy * w8 + cx).reshape(k * k, mid_num)
+        unit, norm, valid, cell = _pair_samples8(
+            peaks_xy, peaks_valid, limb, stride, h8, w8, mid_num)
+        unit = unit.reshape(k * k, 2)
+        cell = cell.reshape(k * k, mid_num)
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cells), 2)
         count = (cell[:, :, None] == iota).astype(count_dtype).sum(
             1, dtype=count_dtype)                          # [K*K, cells]
@@ -263,8 +266,7 @@ def score_limbs_cell(paf8: jax.Array, peaks_xy: jax.Array,
         prior = jnp.minimum(0.5 * orig_h / norm - 1.0, 0.0).reshape(k * k)
         swdp = score_sum / mid_num + prior
         crit1 = hits > 0.8 * mid_num
-        ok = (crit1 & (swdp > 0)
-              & (a_valid[:, None] & b_valid[None, :]).reshape(k * k))
+        ok = crit1 & (swdp > 0) & valid.reshape(k * k)
         return swdp.reshape(k, k), ok.reshape(k, k)
 
     # Limb sequencing: lax.map (seq=True) bounds the count-matrix HBM
@@ -328,22 +330,10 @@ def score_limbs_fused(paf8: jax.Array, peaks_xy: jax.Array,
     paf_flat = paf8.reshape(cells, -1).astype(jnp.float32)
 
     def one(limb, chans):
-        a_xy = peaks_xy[limb[0]].astype(jnp.float32)      # [K,2]
-        b_xy = peaks_xy[limb[1]].astype(jnp.float32)
-        a_valid, b_valid = peaks_valid[limb[0]], peaks_valid[limb[1]]
-        vec = b_xy[None, :, :] - a_xy[:, None, :]          # [K,K,2]
-        norm = jnp.maximum(jnp.sqrt((vec * vec).sum(-1)), 0.001)
-        unit = (vec / norm[..., None]).reshape(k * k, 2)
-
-        t = jnp.linspace(0.0, 1.0, mid_num)
-        pts = (a_xy[:, None, None, :]
-               + vec[:, :, None, :] * t[None, None, :, None])
-        # full-res point -> nearest /8 cell (same mapping as score_limbs_mxu)
-        cx = jnp.clip(jnp.rint((pts[..., 0] + 0.5) / stride - 0.5),
-                      0, w8 - 1).astype(jnp.int32)
-        cy = jnp.clip(jnp.rint((pts[..., 1] + 0.5) / stride - 0.5),
-                      0, h8 - 1).astype(jnp.int32)
-        cell = (cy * w8 + cx).reshape(k * k, mid_num)
+        unit, norm, valid, cell = _pair_samples8(
+            peaks_xy, peaks_valid, limb, stride, h8, w8, mid_num)
+        unit = unit.reshape(k * k, 2)
+        cell = cell.reshape(k * k, mid_num)
 
         ps = paf_flat[:, chans]                            # [cells, 2]
         if impl == "take":
@@ -362,8 +352,7 @@ def score_limbs_fused(paf8: jax.Array, peaks_xy: jax.Array,
         prior = jnp.minimum(0.5 * orig_h / norm - 1.0, 0.0).reshape(k * k)
         swdp = score_mid.sum(-1) / mid_num + prior
         crit1 = (score_mid > thre2).sum(-1) > 0.8 * mid_num
-        ok = (crit1 & (swdp > 0)
-              & (a_valid[:, None] & b_valid[None, :]).reshape(k * k))
+        ok = crit1 & (swdp > 0) & valid.reshape(k * k)
         return swdp.reshape(k, k), ok.reshape(k, k)
 
     swdp, ok = jax.vmap(one)(limb_seq, map_idx)

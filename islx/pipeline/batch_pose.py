@@ -153,12 +153,12 @@ def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
     derivable. 'flat' ships all six planes (kept for A/B).
 
     mode 'bits' (default): nook folding + integer planes bit-packed into ONE
-    s32 buffer — xy as two s16 per word, pair indices as four u8 per word
-    (K<=16 so pair = i*K+j < 256), f32 score planes bitcast. Bit-exact
-    (integers and raw f32 bits; no NaN patterns are ever formed since
-    coords < 2^15) at ~62% of the nook bytes: the fetch leg rides the same
-    degraded link as the uploads (CLAUDE.md), so result bytes are
-    throughput.
+    s32 buffer — xy as two s16 per word, pair indices (pair = i*K+j < K*K)
+    as four u8 per word when K*K <= 256 else two s16 per word, f32 score
+    planes bitcast. Bit-exact (integers and raw f32 bits; no NaN patterns
+    are ever formed since coords < 2^15) at ~62% of the nook bytes: the
+    fetch leg rides the same degraded link as the uploads (CLAUDE.md), so
+    result bytes are throughput.
 
     mode 'bits16': like 'bits' but the two f32 score planes (66% of the
     bits words) ship as two IEEE f16 per word — ~65% of the bits bytes.
@@ -166,27 +166,30 @@ def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
     bf16 compute path's own divergence (PARITY.md). The non-ok cscore
     sentinel becomes -inf (f16-representable); ok scores are > 0 by
     crit2, so no live value can collide with it."""
-    if mode == "bits16":
-        m = cc.pair.shape[-1]
-        assert pk.xy.shape[-2] % 2 == 0 and m % 4 == 0
-        return jnp.concatenate([
-            _pack2x16(pk.xy[..., 0], pk.xy[..., 1]).reshape(-1),
-            _packf16x2(pk.score).reshape(-1),
-            pk.count.astype(jnp.int32).reshape(-1),
-            _pack4x8(cc.pair.reshape(cc.pair.shape[:-1] + (m // 4, 4))
-                     ).reshape(-1),
-            _packf16x2(jnp.where(cc.ok, cc.score, -jnp.inf)).reshape(-1),
-        ])
-    if mode == "bits":
+    if mode in ("bits", "bits16"):
         k = pk.xy.shape[-2]
         m = cc.pair.shape[-1]
-        assert k * k <= 256 and m % 4 == 0, (k, m)
+        if k * k <= 256:                       # pair fits a byte
+            assert m % 4 == 0, (k, m)
+            pair = _pack4x8(cc.pair.reshape(cc.pair.shape[:-1] + (m // 4, 4)))
+        else:                                  # pair < K*K <= 2^15: s16 pairs
+            assert k * k <= 1 << 15 and m % 2 == 0, (k, m)
+            p2 = cc.pair.reshape(cc.pair.shape[:-1] + (m // 2, 2))
+            pair = _pack2x16(p2[..., 0], p2[..., 1])
+        if mode == "bits16":
+            assert k % 2 == 0
+            return jnp.concatenate([
+                _pack2x16(pk.xy[..., 0], pk.xy[..., 1]).reshape(-1),
+                _packf16x2(pk.score).reshape(-1),
+                pk.count.astype(jnp.int32).reshape(-1),
+                pair.reshape(-1),
+                _packf16x2(jnp.where(cc.ok, cc.score, -jnp.inf)).reshape(-1),
+            ])
         parts = [
             _pack2x16(pk.xy[..., 0], pk.xy[..., 1]).reshape(-1),
             jax.lax.bitcast_convert_type(pk.score, jnp.int32).reshape(-1),
             pk.count.astype(jnp.int32).reshape(-1),
-            _pack4x8(cc.pair.reshape(cc.pair.shape[:-1] + (m // 4, 4))
-                     ).reshape(-1),
+            pair.reshape(-1),
             jax.lax.bitcast_convert_type(
                 jnp.where(cc.ok, cc.score, -1e30), jnp.int32).reshape(-1),
         ]
@@ -205,12 +208,18 @@ def _pack_body(pk, cc, mode: str = "nook") -> jax.Array:
     return jnp.concatenate(parts)
 
 
+def _pair_words(k: int, m: int) -> int:
+    """Words per limb row of the packed pair plane (u8x4 or s16x2)."""
+    return m // 4 if k * k <= 256 else m // 2
+
+
 def _body_pack_len(b: int, c: int, k: int, l: int, m: int,
                    mode: str = "nook") -> int:
     if mode == "bits16":
-        return b * (c * k + c * (k // 2) + c + l * (m // 4) + l * (m // 2))
+        return b * (c * k + c * (k // 2) + c + l * _pair_words(k, m)
+                    + l * (m // 2))
     if mode == "bits":
-        return b * (c * k * 2 + c + l * (m // 4) + l * m)
+        return b * (c * k * 2 + c + l * _pair_words(k, m) + l * m)
     return b * (c * k * 3 + c + (2 if mode == "nook" else 3) * l * m)
 
 
@@ -484,7 +493,8 @@ class BatchedBodyPipeline:
         if self.pack_mode in ("bits", "bits16"):
             half = self.pack_mode == "bits16"
             sizes = [b * c * k, b * c * (k // 2 if half else k), b * c,
-                     b * l * (m // 4), b * l * (m // 2 if half else m)]
+                     b * l * _pair_words(k, m),
+                     b * l * (m // 2 if half else m)]
             parts = np.split(np.ascontiguousarray(np.asarray(packed)),
                              np.cumsum(sizes)[:-1])
             w = parts[0].reshape(b, c, k)
@@ -499,8 +509,12 @@ class BatchedBodyPipeline:
                 cscore = parts[4].view(np.float32).reshape(b, l, m)
                 cok = cscore > -1e29
             count = parts[2].reshape(b, c).astype(np.int32)
-            pair = (parts[3].view(np.uint8).astype(np.int32)
-                    .reshape(b, l, m))
+            if k * k <= 256:
+                pair = (parts[3].view(np.uint8).astype(np.int32)
+                        .reshape(b, l, m))
+            else:
+                pair = (parts[3].view(np.uint16).astype(np.int32)
+                        .reshape(b, l, m))
             return xy, score, count, pair, np.where(cok, cscore, 0.0), cok
         sizes = [b * c * k * 2, b * c * k, b * c, b * l * m, b * l * m]
         if self.pack_mode != "nook":

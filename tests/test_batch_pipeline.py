@@ -476,3 +476,52 @@ def test_production_hand_config(monkeypatch):
     pipe = FusedPosePipeline(cpm.init_params("body25"),
                              cpm.init_params("hand"))
     assert pipe.hand.cfg.scale_search == (0.5,)
+
+
+@pytest.mark.parametrize("mode", ["bits", "bits16"])
+def test_bit_pack_roundtrip_large_k(rng, mode):
+    """Pair indices survive the bit-packed result buffer when K*K > 256.
+
+    PoseConfig's DEFAULT max_peaks is 32, so pair = i*K+j ranges to 1023 —
+    beyond the four-u8-per-word packing that K<=16 pipelines use. The packer
+    must switch to two s16 per word (and the unpacker must agree) or pair
+    indices silently corrupt into wrong limb endpoints."""
+    import types
+
+    from islx.ops.paf import CompactConnections
+    from islx.ops.peaks import Peaks
+    from islx.pipeline.batch_pose import (BatchedBodyPipeline, _body_pack_len,
+                                          _pack_body)
+
+    b, c, k, l, m = 2, 25, 32, 24, 48
+    xy = jnp.asarray(rng.randint(0, 1500, size=(b, c, k, 2)), jnp.int32)
+    score = jnp.asarray(rng.rand(b, c, k), jnp.float32)
+    count = jnp.asarray(rng.randint(0, k + 1, size=(b, c)), jnp.int32)
+    pk = Peaks(xy=xy, score=score, valid=None, count=count)
+    # pair values deliberately span [0, K*K) including >= 256
+    pair = jnp.asarray(rng.randint(0, k * k, size=(b, l, m)), jnp.int32)
+    cok = jnp.asarray(rng.rand(b, l, m) > 0.4)
+    cscore = jnp.asarray(rng.rand(b, l, m) + 0.1, jnp.float32)
+    cc = CompactConnections(pair=pair, score=cscore, ok=cok)
+
+    packed = np.asarray(_pack_body(pk, cc, mode))
+    assert packed.size == _body_pack_len(b, c, k, l, m, mode)
+
+    fake = types.SimpleNamespace(
+        cfg=PoseConfig(model_type="body25", max_peaks=k),
+        top_m=m, limb_seq=np.asarray(LIMB_SEQ_BODY25), pack_mode=mode)
+    oxy, oscore, ocount, opair, ocscore, ocok = \
+        BatchedBodyPipeline.unpack(fake, packed, b)
+
+    np.testing.assert_array_equal(oxy, np.asarray(xy))
+    np.testing.assert_array_equal(ocount, np.asarray(count))
+    np.testing.assert_array_equal(opair, np.asarray(pair))   # the regression
+    np.testing.assert_array_equal(ocok, np.asarray(cok))
+    if mode == "bits":
+        np.testing.assert_array_equal(oscore, np.asarray(score))
+        np.testing.assert_array_equal(
+            ocscore[ocok], np.asarray(cscore)[np.asarray(cok)])
+    else:
+        np.testing.assert_allclose(oscore, np.asarray(score), rtol=1e-3)
+        np.testing.assert_allclose(
+            ocscore[ocok], np.asarray(cscore)[np.asarray(cok)], rtol=1e-3)

@@ -210,3 +210,62 @@ class TestSGDSolver:
         assert solver._lr() == pytest.approx(0.05)
         solver.iter = 25
         assert solver._lr() == pytest.approx(0.05 * 0.01)
+
+
+class TestReviewFixes:
+    """Regression tests for the round-3 review findings."""
+
+    def test_pool_pad_clamp_matches_torch(self, tmp_path, rng):
+        """Padded ceil pooling clips the last window to start inside
+        image+pad (caffe PoolingLayer::Reshape; torch ceil_mode=True has
+        the same rule): H=5,k=2,s=2,p=1 -> 3, not ceil-only 4."""
+        torch = pytest.importorskip("torch")
+        proto = """
+input: "data"
+layer { name: "p" type: "Pooling" bottom: "data" top: "p"
+        pooling_param { pool: MAX kernel_size: 2 stride: 2 pad: 1 } }
+"""
+        net = C.Net(_write(tmp_path, "pp.prototxt", proto))
+        x = rng.randn(1, 2, 5, 5).astype(np.float32)
+        out = np.asarray(net.forward(data=x)["p"])
+        ref = torch.nn.MaxPool2d(2, 2, padding=1, ceil_mode=True)(
+            torch.from_numpy(x)).numpy()
+        assert out.shape == ref.shape == (1, 2, 3, 3)
+        np.testing.assert_allclose(out, ref)
+
+    def test_softmax_loss_spatial_matches_torch(self, tmp_path, rng):
+        """SoftmaxWithLoss on [N,C,H,W] scores with [N,H,W] per-pixel
+        labels averages the NLL over batch AND spatial positions
+        (== torch F.cross_entropy 'mean'), not just pixel (0,0)."""
+        torch = pytest.importorskip("torch")
+        proto = """
+input: "data"
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "data" bottom: "label"
+        top: "loss" }
+"""
+        net = C.Net(_write(tmp_path, "sl.prototxt", proto))
+        x = rng.randn(2, 3, 4, 4).astype(np.float32)
+        lbl = rng.randint(0, 3, size=(2, 4, 4)).astype(np.float32)
+        out = float(np.asarray(net.forward(data=x, label=lbl)["loss"]))
+        ref = float(torch.nn.functional.cross_entropy(
+            torch.from_numpy(x), torch.from_numpy(lbl).long()))
+        assert out == pytest.approx(ref, rel=1e-5)
+
+    def test_solver_update_program_is_reused(self, tmp_path, rng):
+        """step() builds the jitted update ONCE; later calls reuse it (the
+        old per-call closure retraced + recompiled the whole net every
+        step with the batch baked in as a constant)."""
+        net_path = _write(tmp_path, "train.prototxt", TRAIN_PROTOTXT)
+        solver = C.SGDSolver(_solver(tmp_path, net_path))
+        x = rng.randn(8, 4).astype(np.float32)
+        y = rng.randn(8, 1).astype(np.float32)
+        solver.step(1, data=x, label=y)
+        u1 = solver._update
+        assert u1 is not None
+        solver.step(2, data=x, label=y)
+        assert solver._update is u1
+        # a different batch (same shapes) must change the result: the
+        # inputs are traced arguments, not baked-in constants
+        l_a = solver.step(1, data=x, label=y)
+        l_b = solver.step(1, data=x + 1.0, label=y)
+        assert l_a != l_b

@@ -109,3 +109,49 @@ def test_prune_rules():
     subset = grouping.group_people(candidate, connection_all, special_k,
                                    limb_seq, njoint)
     assert subset.shape[0] == 0
+
+
+def test_duplicate_ownership_reprobe():
+    """The found==2 non-disjoint branch (src/body.py:214-217) writes partB
+    into row j1 while row j2 STILL holds it — two rows then own the same
+    (slot, gid). A later limb probing that key must see BOTH rows (found==2
+    -> unconditional extend) exactly like the reference's linear scan; a
+    single-owner index sees one (found==1 -> conditional extend, skipped
+    when the value already matches) and under-counts the person.
+
+    Shipped body25/coco tables never re-probe a duplicated key (each slot
+    is indexB of at most one earlier limb), so this uses a custom table —
+    group_people is public API over arbitrary limb tables.
+
+    Trace (candidates gid 0..4, part score 0.5 each):
+      limb0 (0,5) conn (0,1,.9)  -> R1 {0:0, 5:1}          count 2, 1.9
+      limb1 (2,1) conn (2,3,.8)  -> R2 {2:2, 1:3}          count 2, 1.8
+      limb2 (1,0) conn (3,4,.7)  -> found R2 via slot1==3 -> R2[0]=4
+                                                            count 3, 3.0
+      limb3 (0,1) conn (0,3,.6)  -> found==2 (R1 slot0, R2 slot1),
+        non-disjoint (slot0 occupied in both) -> R1[1]=3   count 3, 3.0
+        ... (1,3) now owned by BOTH R1 and R2
+      limb4 (1,5) conn (3,1,.55) -> reference finds R1 AND R2 via slot1==3
+        -> found==2 non-disjoint -> UNCONDITIONAL extend of R1 with (5,1)
+        which R1 already holds:                            count 4, 4.05
+    R1 survives the prune (count 4, mean > 0.4); R2 (count 3) is pruned.
+    A single-owner index skips the limb4 extension (found==1, value equal)
+    leaving R1 at count 3 -> everything pruned -> empty table."""
+    njoint = 7
+    limb_seq = np.array([[0, 5], [2, 1], [1, 0], [0, 1], [1, 5]])
+    candidate = np.array([[float(i), float(i), 0.5, float(i)]
+                          for i in range(5)])
+    connection_all = [
+        np.array([[0.0, 1.0, 0.9, 0.0, 0.0]]),
+        np.array([[2.0, 3.0, 0.8, 0.0, 0.0]]),
+        np.array([[3.0, 4.0, 0.7, 0.0, 0.0]]),
+        np.array([[0.0, 3.0, 0.6, 0.0, 0.0]]),
+        np.array([[3.0, 1.0, 0.55, 0.0, 0.0]]),
+    ]
+    subset = grouping.group_people(candidate, connection_all, [], limb_seq,
+                                   njoint)
+    assert subset.shape == (1, njoint + 1)
+    np.testing.assert_array_equal(subset[0, :njoint - 1],
+                                  [0, 3, -1, -1, -1, 1])
+    assert subset[0, -1] == 4
+    np.testing.assert_allclose(subset[0, -2], 4.05)

@@ -114,9 +114,12 @@ def stage_nmspeaks():
     frames = (rng.rand(B, hb, wb, 3) * 255).astype(np.uint8)
     pipes = {}
     for name, flag in (("pallas", True), ("xla", False)):
+        # pallas_mask=False pins the 'xla' arm to the PURE XLA epilogue —
+        # on TPU it would otherwise default to the pallas NMS-mask kernel
+        # and the A/B would compare pallas-select vs pallas-mask instead
         pipes[name] = BatchedBodyPipeline(
             params, "body25", PoseConfig(model_type="body25", max_peaks=16),
-            compute_dtype=jnp.bfloat16, pallas_nms=flag)
+            compute_dtype=jnp.bfloat16, pallas_nms=flag, pallas_mask=False)
         pipes[name].device_step(frames)  # compile
     for rep in range(3):
         for name, pipe in pipes.items():
