@@ -164,11 +164,20 @@ def main():
 
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache", f"int8_{hb}x{wb}_h{hsize}")
+        qbody = qhand = None
         if ckpt.exists(cache + "_body") and ckpt.exists(cache + "_hand"):
-            qbody = ckpt.load_pytree(cache + "_body")
-            qhand = ckpt.load_pytree(cache + "_hand")
-            _log("int8 quantization loaded from .bench_cache")
-        else:
+            try:
+                qbody = ckpt.load_pytree(cache + "_body")
+                qhand = ckpt.load_pytree(cache + "_hand")
+                _log("int8 quantization loaded from .bench_cache")
+            except Exception as e:
+                # a run killed mid-save leaves a partial orbax dir that
+                # exists() accepts — self-heal by recalibrating rather than
+                # failing every future scored run
+                qbody = qhand = None
+                _log(f"int8 cache unreadable ({type(e).__name__}); "
+                     "recalibrating")
+        if qbody is None:
             with ctx:
                 qbody = quant.quantize_model(body_params, "body25", [xcal])
                 qhand = quant.quantize_model(hand_params, "hand", [hcal])
@@ -445,12 +454,19 @@ def main():
     # and the watchdog deadline is pushed back by the pause.
     cap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             ".bench_cache", "capability.json")
+    # capability is keyed by the measurement configuration (like the thre1
+    # cache): a small-B or BGR A/B run must not be compared against — or
+    # ratchet — the default config's ceiling. Legacy unkeyed files count as
+    # the default config's entry.
+    cap_key = f"B{B}_{'yuv' if use_yuv else 'bgr'}"
     capability = None
     try:
         with open(cap_path) as f:
-            capability = json.load(f).get("fps")
+            cap_all = json.load(f)
+        capability = cap_all.get(cap_key, {}).get("fps") or (
+            cap_all.get("fps") if cap_key == "B192_yuv" else None)
     except (OSError, ValueError):
-        pass
+        cap_all = {}
     fps_now = max(results.values())
     if (not degraded and capability and fps_now < 0.55 * capability):
         pause = 150.0
@@ -465,9 +481,12 @@ def main():
         best_now = max(max(results.values()), capability or 0.0)
         try:
             os.makedirs(os.path.dirname(cap_path), exist_ok=True)
+            cap_all.pop("fps", None)   # migrate the legacy unkeyed form
+            cap_all.pop("ts", None)
+            cap_all[cap_key] = {"fps": round(best_now, 2),
+                                "ts": time.time()}
             with open(cap_path, "w") as f:
-                json.dump({"fps": round(best_now, 2),
-                           "ts": time.time()}, f)
+                json.dump(cap_all, f)
         except OSError:
             pass
     rec = mk_record(results)
@@ -496,10 +515,16 @@ def _watchdog(timeout_s: float = None):
     import threading
 
     done = threading.Event()
+    crash = {}
 
     def run():
         try:
             main()
+        except BaseException as e:   # a crash must still yield a record
+            import traceback
+
+            traceback.print_exc()
+            crash["err"] = f"{type(e).__name__}: {e}"
         finally:
             done.set()
 
@@ -508,14 +533,19 @@ def _watchdog(timeout_s: float = None):
     deadline = time.time() + timeout_s
     while not done.is_set() and time.time() < deadline + _EXTRA["s"]:
         done.wait(10.0)
-    if not done.is_set():
+    if not done.is_set() or crash:
+        # stalled OR crashed before printing: emit the best partial record
+        # (or an honest zero) so the driver's one-JSON-line contract holds,
+        # and exit nonzero — silence with exit 0 looks like success
+        note = (crash.get("err") if crash
+                else f"TPU runtime unresponsive for {timeout_s:.0f}s")
         rec = _PARTIAL.get("record") or {
             "metric": "body25_hand_fps_per_chip",
             "value": 0.0,
             "unit": "frames/s",
             "vs_baseline": 0.0,
-            "note": f"TPU runtime unresponsive for {timeout_s:.0f}s",
         }
+        rec = dict(rec, note=note)
         print(json.dumps(rec), flush=True)
         os._exit(1)
 

@@ -62,7 +62,17 @@ def _params_sig(params) -> str:
     return hashlib.sha1(s.encode()).hexdigest()[:16]
 
 
+# fingerprint fields added after the first artifacts shipped: compared
+# leniently (an artifact that predates a field is accepted — every early
+# artifact was built at these fields' defaults) so existing caches stay
+# valid while NEW exports pin the full configuration
+_LENIENT = ("det_cfg", "hand_boxsize", "crop_chunk", "two_stage_peaks",
+            "fused_peaks", "thre2")
+
+
 def _fingerprint(pipe) -> dict:
+    import dataclasses
+
     dev = jax.devices()[0]
     return {
         "magic": _MAGIC,
@@ -78,6 +88,14 @@ def _fingerprint(pipe) -> dict:
         "params_sig": _params_sig((pipe.body.params, pipe.hand.params)),
         # mesh-sharded programs pin device topology; serving uses mesh=None
         "sharded": pipe.mesh is not None,
+        # compiled-in constants the early fingerprint missed: a config
+        # change here silently served stale programs (round-3 review)
+        "det_cfg": dataclasses.astuple(pipe.det_cfg),
+        "hand_boxsize": pipe.hand.cfg.boxsize,
+        "crop_chunk": getattr(pipe.hand, "crop_chunk", None),
+        "two_stage_peaks": getattr(pipe.body, "two_stage_peaks", None),
+        "fused_peaks": getattr(pipe.body, "fused_peaks", None),
+        "thre2": pipe.body.cfg.thre2,
     }
 
 
@@ -177,7 +195,8 @@ def load_fused(pipe, path: str):
         want.pop("jax", None)
         want.pop("device_kind", None)
     mismatched = {k: (meta.get(k), v) for k, v in want.items()
-                  if meta.get(k) != (list(v) if isinstance(v, tuple) else v)
+                  if not (k in _LENIENT and k not in meta)
+                  and meta.get(k) != (list(v) if isinstance(v, tuple) else v)
                   and meta.get(k) != v}
     if mismatched:
         raise AotMismatch(f"{path}: artifact/env mismatch {mismatched}")

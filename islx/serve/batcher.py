@@ -17,7 +17,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+import time
+from concurrent.futures import Future, InvalidStateError
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -76,6 +77,7 @@ class MicroBatcher:
         # served frames separately (so --int8-after 512 doesn't build a
         # 512-frame eager calibration batch and OOM the chip)
         self._calib_frames: list = []
+        self._calib_hw0: Optional[Tuple[int, int]] = None
         self._calib_seen = 0
         # background quantization swap: the quantize -> compile -> warm
         # chain runs off-thread and the worker flips to the finished
@@ -98,6 +100,11 @@ class MicroBatcher:
     def submit(self, frame_bgr_u8: np.ndarray) -> "Future[PoseResult]":
         """Non-blocking: returns a future with the frame's PoseResult."""
         fut: Future = Future()
+        if self._stop.is_set():
+            # a submit racing (or following) close() must fail fast — the
+            # worker is gone and nothing would ever resolve the future
+            fut.set_exception(RuntimeError("MicroBatcher closed"))
+            return fut
         self._q.put((np.asarray(frame_bgr_u8), fut))
         with self._stats_lock:
             self._stats["requests"] += 1
@@ -119,7 +126,11 @@ class MicroBatcher:
         # close() it races whatever the process does next (measured: an
         # XLA abort when a later test ran a mesh computation while a leaked
         # calibration thread was mid-forward). It checks _stop between
-        # calibration chunks, so the join is bounded by one chunk.
+        # calibration chunks and between warm-compile keys, so the join is
+        # bounded by one chunk or one compile+warm step (~20-40s) — the
+        # 120s timeout covers that; a wedged-relay fetch can still exceed
+        # it, in which case the join returns with the thread leaked (the
+        # caller should not run further device work in that process).
         t = self._quant_thread
         if t is not None:
             t.join(timeout=120.0)
@@ -147,10 +158,16 @@ class MicroBatcher:
                     first = self._q.get(timeout=0.1)
                 except queue.Empty:
                     continue
-                # batching window — skip it when a full batch is already
-                # queued (no dead latency on bursts)
-                if self._q.qsize() < self.max_batch - 1:
-                    self._stop.wait(self.max_wait)
+                # batching window — ends early the moment a full batch is
+                # pending (a burst arriving mid-wait must not eat the whole
+                # window; 1ms poll granularity vs the 15ms default window)
+                deadline = time.monotonic() + self.max_wait
+                while (self._q.qsize() < self.max_batch - 1
+                       and not self._stop.is_set()):
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._stop.wait(min(left, 0.001))
             # drain: same-resolution requests batch together; others wait
             # in `pending` for the next cycle (they'd need another program)
             hw0 = first[0].shape[:2]
@@ -207,6 +224,14 @@ class MicroBatcher:
             # mixed-resolution traffic, collect only the first-seen shape
             if (not self._calib_frames
                     or self._calib_frames[0].shape == frames[0].shape):
+                if not self._calib_frames:
+                    # remember the ORIGINAL resolution the calibration
+                    # frames came from: sy/sx bake into the program key,
+                    # so the background warm must compile the key REAL
+                    # traffic at this resolution dispatches — warming a
+                    # synthetic (bucket, sy=1) key would leave the first
+                    # post-swap request paying the full compile
+                    self._calib_hw0 = hw0
                 room = self._CALIB_KEEP - len(self._calib_frames)
                 self._calib_frames.extend(frames[i]
                                           for i in range(min(len(batch),
@@ -215,13 +240,9 @@ class MicroBatcher:
                 self._quant_started = True
                 calib = self._calib_frames
                 self._calib_frames = []
-                ch, cw = calib[0].shape[:2]
-                # original size whose bucket matches the calibration shape
-                # (sy/sx bake into the program key)
-                cal_hw0 = hw0 if (hb, wb) == (ch, cw) else (ch, cw)
                 self._quant_thread = threading.Thread(
                     target=self._background_quantize,
-                    args=(calib, cal_hw0), daemon=True)
+                    args=(calib, self._calib_hw0), daemon=True)
                 self._quant_thread.start()
         packed = self.pipe.device_step(frames, (h0, w0))
         results, boxes, peaks = self.pipe.assemble(packed, self.max_batch)
@@ -233,7 +254,14 @@ class MicroBatcher:
                 candidate[:, 0] *= sx
                 candidate[:, 1] *= sy
             hands = self.pipe.hands_for_frame(boxes, peaks, i, sy, sx)
-            fut.set_result(PoseResult(candidate, subset, hands))
+            # a client may have cancelled its future while the batch ran;
+            # set_result on it raises and would poison the REST of the
+            # batch via _run's except handler
+            if not fut.done():
+                try:
+                    fut.set_result(PoseResult(candidate, subset, hands))
+                except InvalidStateError:   # lost the race to a cancel
+                    pass
         with self._stats_lock:
             self._stats["batches"] += 1
             self._stats["frames_padded"] += self.max_batch - len(batch)
@@ -296,11 +324,28 @@ class MicroBatcher:
                 crop_chunk=old.hand.crop_chunk)
             if self._stop.is_set():
                 return
-            # compile + warm at the calibration resolution (one dummy step,
-            # fetched) so the worker's flip is instantaneous
+            # compile + warm EVERY program key the float pipeline served
+            # (one dummy step each, fetched) so the worker's flip is
+            # instantaneous for all live resolutions, not just the
+            # calibration one — the swap replaces the whole pipeline and a
+            # mixed-resolution deployment would otherwise stall 20-40s per
+            # other bucket on its first post-swap request
             ch, cw = calib_frames[0].shape[:2]
-            warm = np.zeros((self.max_batch, ch, cw, 3), np.uint8)
-            np.asarray(new_pipe.device_step(warm, cal_hw0))
+            keys = [(self.max_batch, ch, cw,
+                     float(cal_hw0[0]) / ch, float(cal_hw0[1]) / cw, "bgr")]
+            keys += [k for k in old._programs if k not in keys]
+            import jax.numpy as jnp
+
+            for b_, hb_, wb_, sy_, sx_, fmt_ in keys:
+                if self._stop.is_set():
+                    return
+                n = b_ * hb_ * wb_ * 3
+                if fmt_ == "yuv420":
+                    n = b_ * (hb_ * wb_ * 3) // 2
+                np.asarray(new_pipe._program(b_, hb_, wb_, sy_, sx_, fmt_)(
+                    new_pipe.body.params, new_pipe.hand.params,
+                    jnp.zeros(n, jnp.uint8),
+                    jnp.float32(new_pipe.body.cfg.thre1)))
             with self._pending_lock:
                 self._pending_pipe = new_pipe
         except _Cancelled:
