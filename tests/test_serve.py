@@ -179,6 +179,62 @@ def test_int8_calibration_survives_mixed_resolutions(pipe):
         b.close()
 
 
+def test_submit_after_close_fails_fast(pipe):
+    """A submit racing (or following) close() must resolve immediately with
+    an error — the worker is gone and nothing would ever serve it."""
+    from islx.serve import MicroBatcher
+
+    b = MicroBatcher(pipe, max_batch=2, max_wait_ms=10.0, target_h=48)
+    b.close()
+    fut = b.submit(np.zeros((96, 96, 3), np.uint8))
+    assert fut.done()
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=0)
+
+
+def test_cancelled_future_does_not_poison_batch(pipe):
+    """A client cancelling its future mid-flight must not break the other
+    requests in the same device batch (set_result on a cancelled future
+    raises; the worker must skip done futures)."""
+    from islx.serve import MicroBatcher
+
+    b = MicroBatcher(pipe, max_batch=3, max_wait_ms=700.0, target_h=48)
+    try:
+        rng = np.random.RandomState(6)
+        f1 = b.submit((rng.rand(96, 96, 3) * 255).astype(np.uint8))
+        f2 = b.submit((rng.rand(96, 96, 3) * 255).astype(np.uint8))
+        # these futures are never marked running, so cancel() always wins
+        # unless the worker already resolved it — both orders must be safe
+        f1.cancel()
+        assert f2.result(timeout=600).candidate.shape[1] == 4
+        assert f1.cancelled() or f1.done()
+    finally:
+        b.close()
+
+
+def test_batching_window_ends_on_full_batch(pipe):
+    """A burst filling max_batch must dispatch immediately instead of
+    sleeping out the (here: 15s) batching window."""
+    import time
+
+    from islx.serve import MicroBatcher
+
+    b = MicroBatcher(pipe, max_batch=2, max_wait_ms=15000.0, target_h=48)
+    try:
+        rng = np.random.RandomState(7)
+        frames = [(rng.rand(96, 96, 3) * 255).astype(np.uint8)
+                  for _ in range(4)]
+        # round 1 pays the program compile; round 2 times the window logic
+        for f in [b.submit(x) for x in frames[:2]]:
+            assert f.result(timeout=600).candidate.shape[1] == 4
+        t0 = time.monotonic()
+        for f in [b.submit(x) for x in frames[2:]]:
+            assert f.result(timeout=600).candidate.shape[1] == 4
+        assert time.monotonic() - t0 < 10.0  # << the 15s window
+    finally:
+        b.close()
+
+
 def test_http_body_size_cap(pipe):
     import urllib.error
     import urllib.request
