@@ -125,8 +125,10 @@ def test_live_traffic_int8_calibration(pipe):
         for f in first:
             assert f.result(timeout=600).candidate.shape[1] == 4
         # the swap is async: keep serving until the worker flips to the
-        # background-compiled pipeline (no request ever paid its compile)
-        deadline = time.time() + 600
+        # background-compiled pipeline (no request ever paid its compile).
+        # Generous deadline: the eager int8 calibration + compile is minutes
+        # of CPU work and this suite may share the host with other jobs
+        deadline = time.time() + 1200
         while not b.stats()["quantized"]:
             assert time.time() < deadline, "quantized swap never landed"
             fut = b.submit(frames[2])
