@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test test-fast bench demo dryrun lint
+.PHONY: test test-fast test-quick bench demo dryrun lint synthetic-weights
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -8,6 +8,16 @@ test:
 test-fast:
 	$(PY) -m pytest tests/ -q --ignore=tests/test_components.py \
 		--ignore=tests/test_models.py --ignore=tests/test_checkpoint.py
+
+# one representative test per subsystem, <5 min (marker in pyproject.toml)
+test-quick:
+	$(PY) -m pytest tests/ -q -m quick
+
+# synthetic trained checkpoint bundle: unlocks the weights-gated golden
+# parity + int8 + hand-scale accuracy gates (tools/make_synthetic_weights.py;
+# conftest points ISLX_WEIGHTS_DIR here automatically when it exists)
+synthetic-weights:
+	$(PY) tools/make_synthetic_weights.py --out .synthetic_weights
 
 bench:
 	$(PY) bench.py

@@ -33,7 +33,21 @@ def main(argv=None):
                         "one fused batched device program)")
     p.add_argument("--batch", type=int, default=16,
                    help="frames per fused device step (production path)")
+    p.add_argument("--mesh-data", type=int, default=0, metavar="N",
+                   help="shard each device batch over N devices (jax data-"
+                        "parallel mesh; needs --batch divisible by N; 0 = "
+                        "single device). Device-level DP — composes with "
+                        "--shard-index/--num-shards process sharding, the "
+                        "TPU-native replacement for the reference's "
+                        "mp.Process DP (extract_features_mp.py:198-221).")
     args = p.parse_args(argv)
+
+    if args.mesh_data and args.exact:
+        p.error("--mesh-data requires the batched production path "
+                "(drop --exact)")
+    if args.mesh_data and args.batch % args.mesh_data:
+        p.error(f"--batch {args.batch} not divisible by "
+                f"--mesh-data {args.mesh_data}")
 
     batch = None
     if args.exact:
@@ -48,11 +62,17 @@ def main(argv=None):
         from islx.models import cpm
         from islx.pipeline.batch_pose import FusedPosePipeline
 
+        mesh = None
+        if args.mesh_data:
+            from islx.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=args.mesh_data)
         pose = FusedPosePipeline(
             W.load(args.body_weights, "body25")
             if args.body_weights else cpm.init_params("body25"),
             W.load(args.hand_weights, "hand")
-            if args.hand_weights else cpm.init_params("hand"))
+            if args.hand_weights else cpm.init_params("hand"),
+            mesh=mesh)
         batch = args.batch
     if args.shard_index is None or args.num_shards is None:
         import jax

@@ -40,14 +40,27 @@ def main(argv=None):
                         "`python -m islx.cli.export_programs` (matching "
                         "platform/batch/resolution artifacts skip the "
                         "in-process compile entirely)")
+    p.add_argument("--mesh-data", type=int, default=0, metavar="N",
+                   help="shard each served micro-batch over N devices (jax "
+                        "data-parallel mesh; needs --max-batch divisible by "
+                        "N; 0 = single device)")
     args = p.parse_args(argv)
 
+    if args.mesh_data and args.max_batch % args.mesh_data:
+        p.error(f"--max-batch {args.max_batch} not divisible by "
+                f"--mesh-data {args.mesh_data}")
+    mesh = None
+    if args.mesh_data:
+        from islx.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.mesh_data)
     pipe = FusedPosePipeline(
         W.load(args.body_weights, args.model_type)
         if args.body_weights else cpm.init_params(args.model_type),
         W.load(args.hand_weights, "hand")
         if args.hand_weights else cpm.init_params("hand"),
-        args.model_type)
+        args.model_type,
+        mesh=mesh)
     server = PoseServer(pipe, args.host, args.port,
                         max_batch=args.max_batch,
                         max_wait_ms=args.max_wait_ms,

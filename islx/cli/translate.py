@@ -48,7 +48,16 @@ def main(argv=None):
                         "(islx.pipeline.translate) instead of the "
                         "reference-exact per-frame path")
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--mesh-data", type=int, default=0, metavar="N",
+                   help="shard each device batch over N devices (jax data-"
+                        "parallel mesh; requires --batched and --batch "
+                        "divisible by N; 0 = single device). TPU-native "
+                        "equivalent of the reference's process-level DP "
+                        "(extract_features_mp.py:198-221).")
     args = p.parse_args(argv)
+
+    if args.mesh_data and not args.batched:
+        p.error("--mesh-data requires --batched (the fused device pipeline)")
 
     if not args.camera:
         import os
@@ -78,6 +87,11 @@ def main(argv=None):
         from islx.core import weights as W
         from islx.pipeline.translate import BatchedTranslatePipeline
 
+        mesh = None
+        if args.mesh_data:
+            from islx.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=args.mesh_data)
         pipe = BatchedTranslatePipeline(
             body_params=(body_params if body_params is not None
                          else (W.load(args.body_weights, "body25")
@@ -86,7 +100,8 @@ def main(argv=None):
                          else (W.load(args.hand_weights, "hand")
                                if args.hand_weights else None)),
             head_params=head_params,
-            batch=args.batch)
+            batch=args.batch,
+            mesh=mesh)
         for idx, cid, expr, prob in pipe.translate_video(args.video):
             if prob >= args.min_prob:
                 print(f"{idx} {prob:0.4f} {cid}-{expr}")

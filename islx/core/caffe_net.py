@@ -207,7 +207,8 @@ def _conv_init(rng, in_shapes, spec):
     p = spec.param
     cout = _one(p, "num_output")
     kh, kw = _ints(p, "kernel_size", 1)
-    cin = in_shapes[0][1]
+    g = _one(p, "group", 1)
+    cin = in_shapes[0][1] // g  # caffe stores grouped weights as [O, I/g, kh, kw]
     std = _filler_std(p, cin * kh * kw)
     k1, _ = jax.random.split(rng)
     w = jax.random.normal(k1, (cout, cin, kh, kw), jnp.float32) * std
@@ -219,11 +220,10 @@ def _conv_apply(params, inputs, spec):
     sh, sw = _ints(p, "stride", 1)
     ph, pw = _ints(p, "pad", 0)
     dh, dw = _ints(p, "dilation", 1)
-    if _one(p, "group", 1) != 1:
-        raise NotImplementedError("grouped convolution")
     y = jax.lax.conv_general_dilated(
         inputs[0], params["weight"], window_strides=(sh, sw),
         padding=[(ph, ph), (pw, pw)], rhs_dilation=(dh, dw),
+        feature_group_count=_one(p, "group", 1),
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
     if "bias" in params:
         y = y + params["bias"][None, :, None, None]

@@ -40,10 +40,15 @@ class BatchedTranslatePipeline:
                  hand_cfg: Optional[HandConfig] = None,
                  cfg: TranslatorConfig = TranslatorConfig(),
                  batch: int = 16,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 mesh=None):
         self.cfg = cfg
         self.batch = batch
         self.model_type = model_type
+        if mesh is not None and batch % mesh.shape["data"]:
+            raise ValueError(
+                f"batch {batch} not divisible by mesh data axis "
+                f"{mesh.shape['data']}")
         self.pipe = FusedPosePipeline(
             body_params if body_params is not None
             else cpm.init_params(model_type),
@@ -52,7 +57,8 @@ class BatchedTranslatePipeline:
             model_type,
             pose_cfg or PoseConfig(model_type=model_type, max_peaks=16),
             hand_cfg or HandConfig.production(),
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            mesh=mesh)
         # one hand crop per arm side — the ISL 156-dim feature contract
         # (body 78 + left hand 39 + right hand 39, islx.isl.features)
         self.max_hands = FusedPosePipeline.MAX_HANDS

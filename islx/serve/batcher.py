@@ -321,7 +321,7 @@ class MicroBatcher:
             new_pipe = FusedPosePipeline(
                 bq, hq, old.model_type, old.body.cfg, old.hand.cfg,
                 det_cfg=old.det_cfg, compute_dtype=cd, top_m=old.body.top_m,
-                crop_chunk=old.hand.crop_chunk)
+                crop_chunk=old.hand.crop_chunk, mesh=old.mesh)
             if self._stop.is_set():
                 return
             # compile + warm EVERY program key the float pipeline served

@@ -88,6 +88,30 @@ class TestNetForward:
         np.testing.assert_allclose(got, np.maximum(ref.numpy(), 0),
                                    atol=1e-4)
 
+    def test_grouped_conv_matches_torch(self, tmp_path, rng):
+        # caffe group>1 (AlexNet-style): weights [O, I/g, kh, kw] ==
+        # XLA feature_group_count (reference parses the same proto field,
+        # caffemodel2pytorch.py:320-340)
+        torch = pytest.importorskip("torch")
+        proto = """
+input: "data"
+input_dim: 2 input_dim: 6 input_dim: 8 input_dim: 8
+layer {
+  name: "gconv" type: "Convolution" bottom: "data" top: "gconv"
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1 group: 2 }
+}
+"""
+        net = C.Net(_write(tmp_path, "g.prototxt", proto))
+        x = rng.randn(2, 6, 8, 8).astype(np.float32)
+        out = net.forward(data=x)
+        w = np.asarray(net.params["gconv"]["weight"])
+        b = np.asarray(net.params["gconv"]["bias"])
+        assert w.shape == (4, 3, 3, 3)  # I/g = 6/2
+        ref = torch.nn.functional.conv2d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+            padding=1, groups=2)
+        np.testing.assert_allclose(out["gconv"], ref.numpy(), atol=1e-4)
+
     def test_pool_ceil_sizing(self, tmp_path, rng):
         # caffe CEIL pooling: 7px, k=2, s=2 -> ceil((7-2)/2)+1 = 4 (torch
         # floor mode would give 3)

@@ -78,6 +78,47 @@ def test_train_cli_and_bundle_translate(clip, tmp_path):
                     "--batch", "8"])
 
 
+def test_translate_cli_mesh_data_matches_single_device(clip, capsys):
+    """--mesh-data N (device data-parallel mesh, VERDICT r3 #4): the sharded
+    production CLI must emit exactly the single-device predictions. Runs on
+    the 8-virtual-CPU-device harness (conftest) — the TPU-native answer to
+    the reference's process-DP over videos (extract_features_mp.py:198-221)."""
+    from islx.cli import translate
+
+    translate.main([clip, "--batched", "--batch", "8"])
+    single = capsys.readouterr().out
+    translate.main([clip, "--batched", "--batch", "8", "--mesh-data", "2"])
+    sharded = capsys.readouterr().out
+    assert sharded == single
+    assert single.strip()  # the clip emits at least one prediction
+
+
+def test_extract_cli_mesh_data_matches_single_device(clip, tmp_path):
+    """--mesh-data on the extraction CLI: sharded per-frame JSON records ==
+    single-device records."""
+    from islx.cli import extract
+
+    csv_path = str(tmp_path / "ds.csv")
+    with open(csv_path, "w") as f:
+        f.write(f"Filepath,expression\n{clip},Hello\n")
+    vid = os.path.basename(clip)
+
+    def run(out, extra):
+        extract.main([csv_path, out, "--num-shards", "1",
+                      "--shard-index", "0", "--batch", "8"] + extra)
+        recs = {}
+        vdir = os.path.join(out, vid)
+        for name in sorted(os.listdir(vdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(vdir, name)) as f:
+                    recs[name] = json.load(f)
+        return recs
+
+    single = run(str(tmp_path / "f1"), [])
+    sharded = run(str(tmp_path / "f2"), ["--mesh-data", "2"])
+    assert sharded == single and single
+
+
 def test_demo_video_batched_hands(clip, tmp_path):
     """Batched demo_video with the fused hand path: one hand program over
     on-device crops (no per-crop-size compiles)."""

@@ -99,6 +99,35 @@ class TestDeviceHandBoxes:
         np.testing.assert_array_equal(np.asarray(dev)[1], host[0, 1:])
 
 
+class TestCrowdedScenes:
+    """PARITY.md divergence #6 quantified: randomized two-person scenes with
+    ground-truth-style PAF fields, ONE shared connection table consumed by
+    both the host grouping path and the device chaining path, so any
+    disagreement is purely grouping-vs-chaining (tools/handbox_crowd_eval.py;
+    reference geometry src/util.py:242-306 after src/body.py:185-231)."""
+
+    def test_isolated_people_always_match(self):
+        import sys
+        sys.path.insert(0, ".")
+        from tools.handbox_crowd_eval import evaluate
+
+        (row,) = evaluate(separations=(80.0,), scenes=25, seed=0)
+        assert row["match_rate"] == 1.0
+        assert row["chimera"] == row["miss"] == row["extra"] == 0
+
+    def test_heavy_overlap_divergence_bounded(self):
+        import sys
+        sys.path.insert(0, ".")
+        from tools.handbox_crowd_eval import evaluate
+
+        (row,) = evaluate(separations=(12.0,), scenes=25, seed=0)
+        # measured round 4: 2-4% chimera at 12px torso separation (150-scene
+        # run recorded in PARITY.md #6); regression bound with slack
+        assert row["chimera_rate"] <= 0.15
+        assert row["match_rate"] >= 0.80
+        assert row["miss"] == 0  # the device chain never loses a real arm
+
+
 class TestFusedPosePipeline:
     @pytest.fixture(scope="class")
     def fused(self):

@@ -1,0 +1,447 @@
+"""Build a synthetic trained checkpoint bundle so every weights-gated
+accuracy decision is executable WITHOUT the reference's download-only
+checkpoints (/root/reference/README.md:43-54 — model/ ships empty).
+
+Trains the real architectures (full BODY_25 + hand CPM, islx.models.cpm)
+with islx.models.pose_train on procedurally generated scenes: stick people
+rendered over varied backgrounds with OpenPose-style supervision (gaussian
+joint heatmaps, unit-vector limb PAFs in the net's MAP_IDX channel layout).
+The result is NOT an accurate human-pose detector — it is a checkpoint with
+realistic response structure (localized blobs, coherent PAF fields) that
+makes these gates run end-to-end:
+
+  * tests/test_golden_weights.py  — islx vs the reference's own torch code
+    on images/demo.jpg (<1px mean keypoint L2): parity holds for ANY
+    weights; a final calibration pass scales the head convs so demo.jpg
+    yields solid above-threshold peaks.
+  * tools/validate_checkpoints.py / tools/hand_scale_eval.py — the 184px
+    hand-crop and int8 production-default gates (point --images at the
+    bundle's scenes/ directory: in-distribution data the net detects).
+
+Output layout (ISLX_WEIGHTS_DIR-compatible, same filenames the reference
+downloads — src/body.py:240, src/hand.py:77):
+
+  OUT/pose_iter_584000.caffemodel.pt   flat {caffe_name}.weight/.bias torch
+  OUT/hand_pose_model.pth              dict (reference util.transfer format)
+  OUT/isl_head.npz                     BiLSTM head (islx.isl.train)
+  OUT/scenes/scene_*.jpg               in-distribution eval images
+  OUT/MANIFEST.json                    seeds, steps, losses, calibration
+
+Run: python tools/make_synthetic_weights.py --out .synthetic_weights
+(defaults build in ~15-30 CPU-min; conftest auto-points ISLX_WEIGHTS_DIR at
+.synthetic_weights when it exists and the env var is unset).
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from islx.models import cpm, pose_train as PT  # noqa: E402
+from islx.ops.paf import LIMB_SEQ_BODY25, MAP_IDX_BODY25  # noqa: E402
+
+REF_IMAGES = "/root/reference/images"
+
+# OpenPose hand skeleton: 0 wrist, then 4 joints per finger
+HAND_FINGERS = [list(range(1 + 4 * f, 1 + 4 * (f + 1))) for f in range(5)]
+
+
+# ---------------------------------------------------------------------------
+# Scene generation
+# ---------------------------------------------------------------------------
+
+def _background(rng: np.random.RandomState, size: int, bgs) -> np.ndarray:
+    kind = rng.randint(4 if bgs else 3)
+    if kind == 0:  # noise
+        return (rng.rand(size, size, 3) * 255).astype(np.uint8)
+    if kind == 1:  # flat
+        return np.full((size, size, 3), rng.randint(0, 256, 3), np.uint8)
+    if kind == 2:  # gradient
+        g = np.linspace(0, 255, size, dtype=np.float32)
+        img = np.stack([np.tile(g, (size, 1))] * 3, -1)
+        if rng.rand() < 0.5:
+            img = img.transpose(1, 0, 2)
+        return np.ascontiguousarray(img.astype(np.uint8))
+    import cv2
+
+    bg = bgs[rng.randint(len(bgs))]
+    h, w = bg.shape[:2]
+    s = rng.randint(size, min(h, w) + 1) if min(h, w) > size else min(h, w)
+    y0 = rng.randint(0, max(h - s, 0) + 1)
+    x0 = rng.randint(0, max(w - s, 0) + 1)
+    return np.ascontiguousarray(
+        cv2.resize(bg[y0:y0 + s, x0:x0 + s], (size, size)))
+
+
+def body_skeleton(rng: np.random.RandomState, size: int, cx: float,
+                  scale: float) -> np.ndarray:
+    """-> [25,2] BODY_25 joints for one randomized upright figure."""
+    s = scale * size
+    cy = rng.uniform(0.22, 0.38) * size
+    kp = np.zeros((25, 2), np.float32)
+    kp[1] = (cx, cy)                                        # neck
+    kp[0] = kp[1] + (rng.uniform(-.04, .04) * s, -0.16 * s)  # nose
+    kp[15] = kp[0] + (-0.035 * s, -0.02 * s)                # eyes
+    kp[16] = kp[0] + (0.035 * s, -0.02 * s)
+    kp[17] = kp[0] + (-0.07 * s, 0.0)                       # ears
+    kp[18] = kp[0] + (0.07 * s, 0.0)
+    sw = rng.uniform(0.13, 0.18) * s
+    kp[2] = kp[1] + (-sw, rng.uniform(0, .02) * s)          # R shoulder
+    kp[5] = kp[1] + (sw, rng.uniform(0, .02) * s)           # L shoulder
+    for sh, el, wr, sign in ((2, 3, 4, -1.0), (5, 6, 7, 1.0)):
+        ua = rng.uniform(0.16, 0.22) * s
+        fa = rng.uniform(0.14, 0.20) * s
+        a1 = sign * rng.uniform(0.15, 1.1)
+        a2 = a1 + rng.uniform(-0.7, 0.7)
+        kp[el] = kp[sh] + (ua * np.sin(a1), ua * np.cos(a1))
+        kp[wr] = kp[el] + (fa * np.sin(a2), fa * np.cos(a2))
+    kp[8] = kp[1] + (rng.uniform(-.02, .02) * s, 0.34 * s)  # mid hip
+    hw = rng.uniform(0.07, 0.10) * s
+    kp[9] = kp[8] + (-hw, 0)                                # R hip
+    kp[12] = kp[8] + (hw, 0)                                # L hip
+    for hip, knee, ank, toe_b, toe_s, heel in ((9, 10, 11, 22, 23, 24),
+                                               (12, 13, 14, 19, 20, 21)):
+        th = rng.uniform(0.20, 0.26) * s
+        sh_ = rng.uniform(0.18, 0.24) * s
+        a1 = rng.uniform(-0.25, 0.25)
+        a2 = a1 + rng.uniform(-0.3, 0.3)
+        kp[knee] = kp[hip] + (th * np.sin(a1), th * np.cos(a1))
+        kp[ank] = kp[knee] + (sh_ * np.sin(a2), sh_ * np.cos(a2))
+        kp[toe_b] = kp[ank] + (0.05 * s * np.sign(np.sin(a2) + 1e-3),
+                               0.02 * s)
+        kp[toe_s] = kp[toe_b] + (0.02 * s, 0.01 * s)
+        kp[heel] = kp[ank] + (-0.02 * s, 0.02 * s)
+    return kp
+
+
+def render_body(rng: np.random.RandomState, size: int, bgs,
+                n_people: int = 1):
+    """-> (img u8 [size,size,3], kp [P,25,2], vis [P,25])."""
+    import cv2
+
+    img = _background(rng, size, bgs)
+    kps = []
+    for p in range(n_people):
+        cx = (rng.uniform(0.25, 0.75) if n_people == 1
+              else (0.30 + 0.40 * p + rng.uniform(-0.05, 0.05))) * size
+        kp = body_skeleton(rng, size, cx, rng.uniform(0.55, 0.95))
+        th = max(1, int(round(size * rng.uniform(0.02, 0.035))))
+        for a, b in LIMB_SEQ_BODY25.tolist():
+            color = tuple(int(c) for c in rng.randint(40, 256, 3))
+            cv2.line(img, tuple(np.rint(kp[a]).astype(int)),
+                     tuple(np.rint(kp[b]).astype(int)), color, th)
+        cv2.circle(img, tuple(np.rint(kp[0]).astype(int)),
+                   max(2, int(0.03 * size)),
+                   tuple(int(c) for c in rng.randint(40, 256, 3)), -1)
+        kps.append(kp)
+    kp = np.stack(kps)
+    vis = ((kp >= 2) & (kp < size - 2)).all(-1)
+    return img, kp, vis
+
+
+def render_hand(rng: np.random.RandomState, size: int, bgs):
+    """-> (img, kp [21,2], vis [21]) one randomized hand."""
+    import cv2
+
+    img = _background(rng, size, bgs)
+    s = rng.uniform(0.5, 0.9) * size
+    wrist = np.array([rng.uniform(0.3, 0.7) * size,
+                      rng.uniform(0.55, 0.8) * size], np.float32)
+    base_a = rng.uniform(-2.2, -0.9)  # hand points mostly up
+    kp = np.zeros((21, 2), np.float32)
+    kp[0] = wrist
+    for f, chain in enumerate(HAND_FINGERS):
+        a = base_a + (f - 2) * rng.uniform(0.18, 0.3)
+        seg = rng.uniform(0.10, 0.14) * s
+        p = wrist.copy()
+        for j, idx in enumerate(chain):
+            a += rng.uniform(-0.1, 0.1)
+            step = seg * (1.6 if j == 0 else 0.65)
+            p = p + step * np.array([np.cos(a), np.sin(a)], np.float32)
+            kp[idx] = p
+    th = max(1, int(round(size * 0.02)))
+    for chain in HAND_FINGERS:
+        prev = 0
+        for idx in chain:
+            color = tuple(int(c) for c in rng.randint(40, 256, 3))
+            cv2.line(img, tuple(np.rint(kp[prev]).astype(int)),
+                     tuple(np.rint(kp[idx]).astype(int)), color, th)
+            prev = idx
+    vis = ((kp >= 2) & (kp < size - 2)).all(-1)
+    return img, kp, vis
+
+
+def body_targets(kp: np.ndarray, vis: np.ndarray, h8: int, w8: int):
+    """Multi-person joints -> (heat [h8,w8,26], paf [h8,w8,52]) with PAFs in
+    the net's MAP_IDX channel layout (islx.ops.paf.MAP_IDX_BODY25)."""
+    # per-person heatmaps, max-combined across people (OpenPose GT rule)
+    p = kp.shape[0]
+    heats = [PT.gaussian_heatmap_targets(kp[i][None], vis[i][None], h8, w8)
+             for i in range(p)]
+    joint = np.max(np.stack([h[0, :, :, :25] for h in heats]), axis=0)
+    bg = 1.0 - joint.max(-1)
+    heat = np.concatenate([joint, bg[..., None]], -1)
+
+    paf = np.zeros((h8, w8, 52), np.float32)
+    cnt = np.zeros((h8, w8, 26), np.int32)
+    for i in range(p):
+        limbs = np.stack([np.stack([kp[i, a], kp[i, b]])
+                          for a, b in LIMB_SEQ_BODY25.tolist()])
+        valid = np.array([vis[i, a] and vis[i, b]
+                          for a, b in LIMB_SEQ_BODY25.tolist()])
+        t = PT.paf_targets(limbs[None], valid[None], h8, w8)[0]
+        for k in range(24):
+            c0, c1 = int(MAP_IDX_BODY25[k, 0]), int(MAP_IDX_BODY25[k, 1])
+            m = (t[:, :, 2 * k] != 0) | (t[:, :, 2 * k + 1] != 0)
+            paf[:, :, c0] += np.where(m, t[:, :, 2 * k], 0)
+            paf[:, :, c1] += np.where(m, t[:, :, 2 * k + 1], 0)
+            cnt[:, :, c0 // 2] += m
+    denom = np.maximum(np.repeat(cnt, 2, axis=2), 1)
+    return heat, paf / denom
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+def _load_bgs():
+    import cv2
+
+    out = []
+    for path in sorted(glob.glob(os.path.join(REF_IMAGES, "*.jpg"))):
+        img = cv2.imread(path)
+        if img is not None:
+            out.append(img)
+    return out
+
+
+def train_body(steps: int, batch: int, size: int, seed: int, log=print):
+    rng = np.random.RandomState(seed)
+    bgs = _load_bgs()
+    state, opt = PT.init_state("body25", PT.make_optimizer(2e-4),
+                               jax.random.PRNGKey(seed))
+    step_fn = PT.make_train_step(opt, "body25", compute_dtype=jnp.float32)
+    h8 = w8 = size // 8
+    t0 = time.time()
+    loss = float("nan")
+    for it in range(steps):
+        xs, hs, ps = [], [], []
+        for _ in range(batch):
+            n_people = 2 if rng.rand() < 0.25 else 1
+            img, kp, vis = render_body(rng, size, bgs, n_people)
+            heat, paf = body_targets(kp, vis, h8, w8)
+            xs.append(img.astype(np.float32) / 256.0 - 0.5)
+            hs.append(heat)
+            ps.append(paf)
+        state, metrics = step_fn(state, jnp.asarray(np.stack(xs)),
+                                 jnp.asarray(np.stack(hs)),
+                                 jnp.asarray(np.stack(ps)))
+        if it % 25 == 0 or it == steps - 1:
+            loss = float(metrics["loss"])
+            log(f"  body25 step {it:4d}/{steps}  loss {loss:.5f}  "
+                f"({time.time() - t0:.0f}s)")
+    return state.params, loss
+
+
+def train_hand(steps: int, batch: int, size: int, seed: int, log=print):
+    rng = np.random.RandomState(seed + 1)
+    bgs = _load_bgs()
+    state, opt = PT.init_state("hand", PT.make_optimizer(2e-4),
+                               jax.random.PRNGKey(seed + 1))
+    step_fn = PT.make_train_step(opt, "hand", compute_dtype=jnp.float32)
+    h8 = w8 = size // 8
+    t0 = time.time()
+    loss = float("nan")
+    for it in range(steps):
+        xs, hs = [], []
+        for _ in range(batch):
+            img, kp, vis = render_hand(rng, size, bgs)
+            heat = PT.gaussian_heatmap_targets(kp[None], vis[None], h8, w8,
+                                               sigma=4.0)[0]
+            xs.append(img.astype(np.float32) / 256.0 - 0.5)
+            hs.append(heat)
+        state, metrics = step_fn(state, jnp.asarray(np.stack(xs)),
+                                 jnp.asarray(np.stack(hs)), None)
+        if it % 25 == 0 or it == steps - 1:
+            loss = float(metrics["loss"])
+            log(f"  hand   step {it:4d}/{steps}  loss {loss:.5f}  "
+                f"({time.time() - t0:.0f}s)")
+    return state.params, loss
+
+
+# ---------------------------------------------------------------------------
+# Calibration: scale head convs so demo.jpg yields solid peaks
+# ---------------------------------------------------------------------------
+
+def _scale_conv(params, name: str, s: float):
+    entry = dict(params[name])
+    entry["w"] = entry["w"] * s
+    entry["b"] = entry["b"] * s
+    params = dict(params)
+    params[name] = entry
+    return params
+
+
+def calibrate_body(params, demo_path: str, target: float = 0.6, log=print):
+    """Scale the final heat/PAF convs so the demo image's strongest joint
+    response lands near ``target`` (well above the thre1=0.1 peak gate) and
+    PAF magnitudes can pass thre2=0.05. Linear output layers, so this is an
+    exact rescaling, not a retrain."""
+    import cv2
+
+    img = cv2.imread(demo_path)
+    if img is None:
+        log(f"  calibrate: cannot read {demo_path}; skipping")
+        return params, 1.0, 1.0
+    h0 = img.shape[0]
+    scale = 0.5 * 368.0 / h0
+    h = int(round(h0 * scale)) // 8 * 8
+    w = int(round(img.shape[1] * scale)) // 8 * 8
+    x = cv2.resize(img, (w, h)).astype(np.float32)[None] / 256.0 - 0.5
+    paf, heat = cpm.body25_forward(params, jnp.asarray(x), jnp.float32)
+    mx = float(np.max(np.asarray(heat)[0, :, :, :25]))
+    pmx = float(np.max(np.abs(np.asarray(paf)[0])))
+    s_h = target / mx if mx > 1e-6 else 1.0
+    s_p = min(0.8 / pmx if pmx > 1e-6 else 1.0, 50.0)
+    s_p = max(s_p, 1.0)
+    log(f"  calibrate body: demo heat max {mx:.4f} -> x{s_h:.2f}; "
+        f"paf max {pmx:.4f} -> x{s_p:.2f}")
+    params = _scale_conv(params, "Mconv7_stage1_L1", s_h)
+    if s_p != 1.0:
+        params = _scale_conv(params, "Mconv7_stage3_L2", s_p)
+    return params, s_h, s_p
+
+
+def calibrate_hand(params, demo_path: str, target: float = 0.6, log=print):
+    import cv2
+
+    img = cv2.imread(demo_path)
+    if img is None:
+        return params, 1.0
+    h0, w0 = img.shape[:2]
+    s = min(h0, w0)
+    crop = img[(h0 - s) // 2:(h0 + s) // 2, (w0 - s) // 2:(w0 + s) // 2]
+    x = cv2.resize(crop, (368, 368)).astype(np.float32)[None] / 256.0 - 0.5
+    heat = cpm.hand_forward(params, jnp.asarray(x), jnp.float32)
+    mx = float(np.max(np.asarray(heat)[0, :, :, :21]))
+    s_h = target / mx if mx > 1e-6 else 1.0
+    log(f"  calibrate hand: demo heat max {mx:.4f} -> x{s_h:.2f}")
+    return _scale_conv(params, "Mconv7_stage6", s_h), s_h
+
+
+# ---------------------------------------------------------------------------
+# Saving
+# ---------------------------------------------------------------------------
+
+def save_torch_flat(params, path: str) -> None:
+    """Flat {caffe_name}.weight/.bias torch file — the exact format the
+    reference converter emits (caffemodel2pytorch.py:388,401-402) and its
+    util.transfer consumes (src/util.py:35-44)."""
+    import torch
+
+    from islx.core.weights import to_flat_dict
+
+    flat = {k: torch.from_numpy(np.ascontiguousarray(v)).float()
+            for k, v in to_flat_dict(params).items()}
+    torch.save(flat, path)
+
+
+def write_scenes(out_dir: str, seed: int, n: int = 6, size: int = 368):
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed + 7)
+    bgs = _load_bgs()
+    for i in range(n):
+        img, _, _ = render_body(rng, size, bgs,
+                                n_people=2 if i % 3 == 2 else 1)
+        cv2.imwrite(os.path.join(out_dir, f"scene_{i}.jpg"), img)
+
+
+def train_head(out_path: str, seed: int, log=print):
+    """Small BiLSTM head trained on separable synthetic windows."""
+    from islx.isl import train as HT
+    from islx.models import translator as T
+
+    rng = np.random.RandomState(seed + 3)
+    n, classes = 96, 8
+    y = rng.randint(0, classes, n)
+    x = rng.rand(n, 20, 156).astype(np.float32) * 0.1
+    for i in range(n):  # class-dependent feature offsets -> learnable
+        x[i, :, y[i] * 8:(y[i] + 1) * 8] += 1.0
+    params = HT.fit(x, y, epochs=8, batch_size=16, seed=seed)
+    T.save_npz(out_path, params)
+    return True
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--out", default=".synthetic_weights")
+    ap.add_argument("--steps-body", type=int, default=400)
+    ap.add_argument("--steps-hand", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--demo", default="/root/reference/images/demo.jpg")
+    ap.add_argument("--skip-head", action="store_true")
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    print(f"[synthetic-weights] training body25 ({args.steps_body} steps, "
+          f"{args.size}px, batch {args.batch}) ...")
+    body_params, body_loss = train_body(args.steps_body, args.batch,
+                                        args.size, args.seed)
+    body_params, s_h, s_p = calibrate_body(body_params, args.demo)
+    save_torch_flat(body_params,
+                    os.path.join(args.out, "pose_iter_584000.caffemodel.pt"))
+
+    print(f"[synthetic-weights] training hand ({args.steps_hand} steps) ...")
+    hand_params, hand_loss = train_hand(args.steps_hand, args.batch,
+                                        args.size, args.seed)
+    hand_params, s_hh = calibrate_hand(hand_params, args.demo)
+    save_torch_flat(hand_params,
+                    os.path.join(args.out, "hand_pose_model.pth"))
+
+    head_loss = None
+    if not args.skip_head:
+        print("[synthetic-weights] training BiLSTM head ...")
+        head_loss = train_head(os.path.join(args.out, "isl_head.npz"),
+                               args.seed)
+
+    write_scenes(os.path.join(args.out, "scenes"), args.seed)
+
+    manifest = {
+        "kind": "synthetic-trained (tools/make_synthetic_weights.py)",
+        "seed": args.seed, "size": args.size, "batch": args.batch,
+        "steps_body": args.steps_body, "steps_hand": args.steps_hand,
+        "final_loss_body": body_loss, "final_loss_hand": hand_loss,
+        "final_loss_head": head_loss,
+        "calibration": {"body_heat_scale": s_h, "body_paf_scale": s_p,
+                        "hand_heat_scale": s_hh, "demo": args.demo},
+        "wall_s": round(time.time() - t0, 1),
+        "note": "response structure is realistic; keypoint semantics are "
+                "synthetic — use for parity/regression gates, not demos",
+    }
+    with open(os.path.join(args.out, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(f"[synthetic-weights] bundle at {args.out} "
+          f"({manifest['wall_s']}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
