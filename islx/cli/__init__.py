@@ -1,0 +1,23 @@
+"""CLI entry points.
+
+Importing this package turns on JAX's persistent compilation cache (same
+location bench.py and tests/conftest.py use): every CLI is a fresh process,
+and on TPU an uncached fused-program compile costs 20-40s per run —
+cross-process caching makes the second invocation of any surface start in
+seconds. ``JAX_COMPILATION_CACHE_DIR`` (jax's own env knob) overrides the
+location; ``ISLX_NO_JAX_CACHE=1`` disables the setup entirely.
+"""
+import os
+
+if (not os.environ.get("ISLX_NO_JAX_CACHE")
+        and not os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:   # cache is an optimization, never a requirement
+        pass

@@ -46,6 +46,13 @@ class HandConfig:
     pad_value: int = 128
     thre: float = 0.05
     n_parts: int = 21
+    # CPM refinement depth: the reference consumes only the FINAL stage's
+    # heatmap (src/model.py:394-407), so trailing stages are a pure
+    # accuracy/FLOP knob — each trimmed stage cuts ~2.3 GFLOP per 184px
+    # crop. 6 = reference-exact; tools/hand_scale_eval.py measures the
+    # keypoint drift of 5/4 per checkpoint before flipping it in production
+    # (ISLX_HAND_STAGES env on HandConfig.production()).
+    stages: int = 6
 
     # Production fused-pipeline default: single pyramid scale 0.5 -> the hand
     # CPM runs on 184px crops instead of 368px (4x fewer FLOPs). The scale is
@@ -63,13 +70,16 @@ class HandConfig:
         """Single-scale config for the fused production pipelines.
 
         Priority: explicit ``scale`` arg > ``ISLX_HAND_SCALE`` env >
-        ``PRODUCTION_SCALE`` (0.5 -> 184px crops)."""
+        ``PRODUCTION_SCALE`` (0.5 -> 184px crops). ``ISLX_HAND_STAGES``
+        (default 6) trims CPM refinement stages — accuracy-gated like the
+        scale (tools/hand_scale_eval.py)."""
         import os
 
         if scale is None:
             scale = float(os.environ.get("ISLX_HAND_SCALE",
                                          cls.PRODUCTION_SCALE))
-        return cls(scale_search=(scale,))
+        return cls(scale_search=(scale,),
+                   stages=int(os.environ.get("ISLX_HAND_STAGES", "6")))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -236,19 +236,36 @@ def param_count(model_type: str) -> int:
 
 def init_params(model_type: str, key: Optional[jax.Array] = None,
                 dtype=jnp.float32) -> Params:
-    """He-normal random init (for tests/benchmarks; real use ingests weights)."""
-    if key is None:
-        key = jax.random.PRNGKey(0)
-    params: Params = {}
-    layers = conv_layers(model_type)
-    keys = jax.random.split(key, len(layers))
-    for c, k in zip(layers, keys):
-        fan_in = c.k * c.k * c.cin
-        w = jax.random.normal(k, (c.k, c.k, c.cin, c.cout), dtype) * np.sqrt(2.0 / fan_in)
-        entry = {"w": w, "b": jnp.zeros((c.cout,), dtype)}
-        if c.act == "prelu":
-            entry["p"] = jnp.full((c.cout,), 0.25, dtype)  # torch PReLU default
-        params[c.name] = entry
+    """He-normal random init (for tests/benchmarks; real use ingests weights).
+
+    Runs entirely on the host CPU backend: ~100 per-layer PRNG ops + the key
+    unstacking are tiny programs that would otherwise each round-trip the
+    TPU relay before any real work starts (and the key-fetch is the process's
+    FIRST device->host transfer — the one that trips the relay's permanent
+    transfer degradation, CLAUDE.md). The threefry PRNG is deterministic
+    across backends, so values are unchanged; pipelines upload the finished
+    pytree once (`_device_resident`).
+    """
+    import contextlib
+
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:          # no CPU backend (never on CPython builds)
+        ctx = contextlib.nullcontext()
+    with ctx:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        params: Params = {}
+        layers = conv_layers(model_type)
+        keys = jax.random.split(key, len(layers))
+        for c, k in zip(layers, keys):
+            fan_in = c.k * c.k * c.cin
+            w = (jax.random.normal(k, (c.k, c.k, c.cin, c.cout), dtype)
+                 * np.sqrt(2.0 / fan_in))
+            entry = {"w": w, "b": jnp.zeros((c.cout,), dtype)}
+            if c.act == "prelu":
+                entry["p"] = jnp.full((c.cout,), 0.25, dtype)  # torch default
+            params[c.name] = entry
     return params
 
 
@@ -431,14 +448,22 @@ def coco_forward(params: Params, x: jax.Array,
 
 
 def hand_forward(params: Params, x: jax.Array,
-                 compute_dtype=jnp.float32) -> jax.Array:
+                 compute_dtype=jnp.float32, stages: int = 6) -> jax.Array:
     """Hand CPM forward: x[B,H,W,3] -> heat[B,H/8,W/8,22].
 
-    Stage wiring mirrors reference src/model.py:394-407.
+    Stage wiring mirrors reference src/model.py:394-407. ``stages`` stops
+    refinement early and returns THAT stage's head output: the reference
+    consumes only the final stage's heatmap (src/model.py:407), so trailing
+    stages are a pure accuracy/FLOP trade — each trimmed stage cuts ~2.3
+    GFLOP/crop at 184px. Accuracy-gated knob (HandConfig.stages,
+    tools/hand_scale_eval.py measures the keypoint drift); default 6 is the
+    reference-exact depth.
     """
+    if not 1 <= stages <= 6:
+        raise ValueError(f"hand stages must be in [1, 6], got {stages}")
     trunk = _seq(x, _HAND["trunk"], params, compute_dtype)
     out = _seq(trunk, _HAND["stage1"], params, compute_dtype)
-    for i in range(2, 7):
+    for i in range(2, stages + 1):
         x2 = jnp.concatenate([out, trunk], axis=-1)
         out = _seq(x2, _HAND["stages"][f"stage{i}"], params, compute_dtype)
     return out

@@ -611,7 +611,7 @@ class BatchedHandPipeline:
                             ((0, 0), (0, pd), (0, pr), (0, 0)),
                             constant_values=float(cfg.pad_value))
                 x = x / 256.0 - 0.5
-                heat = cpm.hand_forward(params, x, cd)
+                heat = cpm.hand_forward(params, x, cd, cfg.stages)
                 m = resize_cubic(heat, size + pd, size + pr)
                 return m[:, :size, :size], size
 
@@ -635,7 +635,7 @@ class BatchedHandPipeline:
                          else resize_cubic(crops, size, size,
                                            saturate_uint8=True))
                     x = x.astype(jnp.float32) / 256.0 - 0.5
-                    heat = cpm.hand_forward(params, x, cd)  # [n,size/8,.,22]
+                    heat = cpm.hand_forward(params, x, cd, cfg.stages)  # [n,size/8,.,22]
                     pk = jax.vmap(lambda h: find_hand_peaks_refine(
                         h[:, :, :cfg.n_parts], cfg.thre))(heat)
                     return pack(pk, s0 / size)
@@ -696,7 +696,7 @@ class BatchedHandPipeline:
                 frames, boxes[:, 0], boxes[:, 1], boxes[:, 2],
                 jnp.maximum(boxes[:, 3], 1), size)        # [N,size,size,3]
             x = crops / 256.0 - 0.5
-            heat = cpm.hand_forward(params, x, cd)        # stays one batch
+            heat = cpm.hand_forward(params, x, cd, cfg.stages)  # one batch
             pk = _chunked_vmap(
                 lambda h: find_hand_peaks_refine(
                     h[:, :, :cfg.n_parts], cfg.thre),

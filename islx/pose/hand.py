@@ -26,7 +26,8 @@ def _hand_heatmap(params, img, cfg: HandConfig, compute_dtype,
                   forward=None) -> jax.Array:
     """u8 img [H,W,3] -> averaged heatmap [H,W,22] (src/hand.py:35-56)."""
     if forward is None:
-        forward = cpm.hand_forward
+        forward = lambda p, x, cd: cpm.hand_forward(  # noqa: E731
+            p, x, cd, cfg.stages)
     h, w = img.shape[0], img.shape[1]
     heat_sum = jnp.zeros((h, w, 22), jnp.float32)
     n = len(cfg.scale_search)

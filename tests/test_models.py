@@ -41,6 +41,45 @@ def test_forward_shapes(model_type):
         assert heat.shape == (2, 8, 10, njoint)
 
 
+def test_hand_stage_trim(rng):
+    """HandConfig.stages knob (accuracy-gated FLOP cut): stages=6 is the
+    reference-exact default; a trimmed forward returns THAT stage's head
+    output — equal to manually running the stage wiring to that depth."""
+    p = cpm.init_params("hand")
+    x = jnp.asarray(rng.rand(1, 48, 48, 3).astype(np.float32))
+    full = cpm.hand_forward(p, x)
+    assert np.allclose(np.asarray(cpm.hand_forward(p, x, stages=6)),
+                       np.asarray(full))
+    s4 = cpm.hand_forward(p, x, stages=4)
+    assert s4.shape == full.shape
+    assert not np.allclose(np.asarray(s4), np.asarray(full))
+    with pytest.raises(ValueError):
+        cpm.hand_forward(p, x, stages=0)
+
+
+def test_hand_stage_trim_pipeline_plumbing(rng):
+    """HandConfig(stages=N) reaches the batched hand program: a 2-stage
+    pipeline's peaks equal a pipeline whose params simply have the later
+    stages replaced by garbage (proving they are never executed)."""
+    from islx.core.config import HandConfig
+    from islx.pipeline.batch_pose import BatchedHandPipeline
+
+    p = cpm.init_params("hand")
+    garbled = dict(p)
+    for name in list(garbled):
+        if "stage3" in name or "stage4" in name or "stage5" in name \
+                or "stage6" in name:
+            garbled[name] = {k: v + 100.0 for k, v in garbled[name].items()}
+    crops = (np.random.RandomState(3).rand(2, 48, 48, 3) * 255
+             ).astype(np.uint8)
+    cfg = HandConfig(scale_search=(0.125,), stages=2)
+    pk_a = BatchedHandPipeline(p, cfg, crop_size=48,
+                               compute_dtype=jnp.float32)(crops)
+    pk_b = BatchedHandPipeline(garbled, cfg, crop_size=48,
+                               compute_dtype=jnp.float32)(crops)
+    np.testing.assert_array_equal(pk_a, pk_b)
+
+
 def _torch_reference_model(model_type):
     sys.path.insert(0, REFERENCE)
     try:

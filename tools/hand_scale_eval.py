@@ -31,6 +31,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# accuracy evaluation, not a perf tool: force CPU so it can never collide
+# with a TPU process on the one-process-at-a-time relay (CLAUDE.md);
+# ISLX_EVAL_TPU=1 opts into device execution
+if not os.environ.get("ISLX_EVAL_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def find_weights(wdir: str):
     """-> (body25_path, hand_path), either may be None."""
@@ -62,12 +70,16 @@ def evaluate(body_w: str, hand_w: str, images: str = "/root/reference/images",
     from islx.pose.hand import Hand
 
     body = Body(W.load(body_w, "body25"), "body25")
+    hp = W.load(hand_w, "hand")
     hands = {
-        "ref_4scale": Hand(W.load(hand_w, "hand"), HandConfig()),
-        "single_368": Hand(W.load(hand_w, "hand"),
-                           HandConfig(scale_search=(1.0,))),
-        "single_184": Hand(W.load(hand_w, "hand"),
-                           HandConfig(scale_search=(0.5,))),
+        "ref_4scale": Hand(hp, HandConfig()),
+        "single_368": Hand(hp, HandConfig(scale_search=(1.0,))),
+        "single_184": Hand(hp, HandConfig(scale_search=(0.5,))),
+        # CPM stage trim (HandConfig.stages; reference consumes only the
+        # final stage's heatmap, src/model.py:394-407): each trimmed stage
+        # cuts ~2.3 GFLOP/184px-crop — GO when its drift stays <1px
+        "s5_184": Hand(hp, HandConfig(scale_search=(0.5,), stages=5)),
+        "s4_184": Hand(hp, HandConfig(scale_search=(0.5,), stages=4)),
     }
 
     crops = []
@@ -78,14 +90,19 @@ def evaluate(body_w: str, hand_w: str, images: str = "/root/reference/images",
         candidate, subset = body(img)
         for x, y, w, _ in hand_detect(candidate, subset, img.shape)[
                 :crops_per_image]:
-            crops.append((os.path.basename(path), img[y:y + w, x:x + w]))
+            # canonicalize the crop size: the Hand pyramid resizes every
+            # crop to scale*368 internally anyway, and distinct outer sizes
+            # would each compile their own program (minutes per config)
+            crop = cv2.resize(img[y:y + w, x:x + w], (368, 368),
+                              interpolation=cv2.INTER_CUBIC)
+            crops.append((os.path.basename(path), crop))
     if not crops:
         raise RuntimeError(f"no hand crops detected on {images}")
 
     peaks = {k: [np.asarray(h(c), np.float64) for _, c in crops]
              for k, h in hands.items()}
     out = {"n_crops": len(crops)}
-    for k in ("single_368", "single_184"):
+    for k in ("single_368", "single_184", "s5_184", "s4_184"):
         l2 = []
         for ref, got in zip(peaks["ref_4scale"], peaks[k]):
             both = (ref != 0).any(-1) & (got != 0).any(-1)
@@ -114,7 +131,7 @@ def main(argv=None):
         return 0
     res = evaluate(body_w, hand_w, args.images, args.crops_per_image)
     print(f"{res['n_crops']} crops from {args.images}")
-    for k in ("single_368", "single_184"):
+    for k in ("single_368", "single_184", "s5_184", "s4_184"):
         s = res[k]
         if s is None:
             print(f"{k}: NO matched keypoints vs ref_4scale "

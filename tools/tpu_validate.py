@@ -597,6 +597,89 @@ def stage_packab():
                   f"= {B / ms * 1000:.0f} fps (fetch-inclusive)")
 
 
+def stage_depthab():
+    """Interleaved fetch-inclusive A/B of the bench dispatch pipeline's
+    in-flight window depth (2/3/4) and split uploads (1/2 legs) on the fused
+    int8 B=192 program (VERDICT r3 #5). Cross-process bench runs can't
+    resolve these deltas (ambient relay drift ~2x); only same-process
+    interleaving can."""
+    import itertools
+    from collections import deque
+
+    import cv2
+
+    from islx.core import checkpoint as ckpt
+    from islx.models import cpm
+    from islx.ops import yuv
+    from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
+
+    B = int(os.environ.get("ISLX_FUSED_B", "192"))
+    img = cv2.imread("/root/reference/images/demo.jpg")
+    if img is None:
+        img = (np.random.RandomState(0).rand(512, 384, 3) * 255
+               ).astype(np.uint8)
+    h0, w0 = img.shape[:2]
+    hb, wb = bucket_for(h0, w0, target_h=184)
+    frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
+    frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
+    frames_yuv = yuv.bgr_to_yuv420_host(frames)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bp, hp = cpm.init_params("body25"), cpm.init_params("hand")
+    cdir = os.path.join(repo, ".bench_cache")
+    for name in (os.listdir(cdir) if os.path.isdir(cdir) else []):
+        if name.startswith(f"int8_{hb}x{wb}") and name.endswith("_body"):
+            base = os.path.join(cdir, name[:-5])
+            if ckpt.exists(base + "_body") and ckpt.exists(base + "_hand"):
+                bp = ckpt.load_pytree(base + "_body")
+                hp = ckpt.load_pytree(base + "_hand")
+                print("[depthab] int8 pytrees from .bench_cache")
+                break
+    pipe = FusedPosePipeline(bp, hp, compute_dtype=jnp.bfloat16)
+
+    counter = [0]
+
+    def dispatch(split):
+        i = counter[0]
+        counter[0] += 1
+        frames_yuv[(i * 131) % (B * hb * wb)] ^= 1
+        if split <= 1:
+            flat = jnp.asarray(frames_yuv)
+        else:
+            n = frames_yuv.shape[0]
+            cut = [n * j // split for j in range(split + 1)]
+            flat = jnp.concatenate([jnp.asarray(frames_yuv[cut[j]:cut[j + 1]])
+                                    for j in range(split)])
+        return pipe.device_step_flat(flat, B, hb, wb, (h0, w0), 0.4,
+                                     input_format="yuv420")
+
+    def window(depth, split, n_iters=4):
+        q = deque()
+        t0 = time.time()
+        for _ in range(n_iters):
+            q.append(dispatch(split))
+            if len(q) > depth:
+                np.asarray(q.popleft())
+        while q:
+            np.asarray(q.popleft())
+        return B * n_iters / (time.time() - t0)
+
+    variants = [(2, 1), (3, 1), (4, 1), (2, 2), (3, 2)]
+    window(2, 1, 2)   # warm
+    fps = {v: [] for v in variants}
+    for rep in range(4):
+        for v in variants:
+            fps[v].append(window(*v))
+            print(f"[depthab] rep{rep} depth={v[0]} split={v[1]}: "
+                  f"{fps[v][-1]:.0f} fps (fetch-inclusive)")
+    for v in variants:
+        med = float(np.median(fps[v]))
+        print(f"[depthab] MEDIAN depth={v[0]} split={v[1]}: {med:.0f} fps")
+    best = max(variants, key=lambda v: np.median(fps[v]))
+    print(f"[depthab] BEST: depth={best[0]} split={best[1]} — set "
+          "ISLX_BENCH_DEPTH/ISLX_BENCH_SPLIT accordingly")
+
+
 def _aot_fixture():
     """Deterministic (pipe, frames, orig_hw) shared by aotsave/aotload —
     the two stages run in SEPARATE processes (one TPU process at a time),
@@ -670,7 +753,7 @@ STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
           "peaksel": stage_peaksel, "pafchunk": stage_pafchunk,
           "pafmode": stage_pafmode, "stem": stage_stem,
           "nmsmask": stage_nmsmask, "fusedspan": stage_fusedspan,
-          "packab": stage_packab,
+          "packab": stage_packab, "depthab": stage_depthab,
           "aotsave": stage_aotsave, "aotload": stage_aotload}
 
 if __name__ == "__main__":

@@ -39,6 +39,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# accuracy gates run on CPU: never collide with a TPU process on the
+# one-process-at-a-time relay (the pytest subprocess's conftest does the
+# same); ISLX_EVAL_TPU=1 opts into device execution
+if not os.environ.get("ISLX_EVAL_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def run_golden_suite(selector: str) -> dict:
     """pytest a subset of tests/test_golden_weights.py.
@@ -112,8 +120,8 @@ def main(argv=None) -> int:
         verdict["hand_184_default"] = "UNEVALUATED"
         res = None
     if res is not None:
-        for k in ("single_368", "single_184"):
-            s = res[k]
+        for k in ("single_368", "single_184", "s5_184", "s4_184"):
+            s = res.get(k)
             line = ("NO matched keypoints (unusable)" if s is None else
                     f"mean L2 {s['mean']:.2f}px  p95 {s['p95']:.2f}px  "
                     f"max {s['max']:.2f}px  (n={s['n']})")
@@ -122,6 +130,16 @@ def main(argv=None) -> int:
         verdict["hand_184_default"] = (
             "GO" if s184 is not None and s184["mean"] < args.hand_gate_px
             else "NO-GO")
+        # deepest CPM stage trim whose drift stays under the gate
+        # (HandConfig.stages / ISLX_HAND_STAGES — cpm.hand_forward)
+        trim = 6
+        for k, n in (("s5_184", 5), ("s4_184", 4)):
+            s = res.get(k)
+            if s is not None and s["mean"] < args.hand_gate_px:
+                trim = n
+            else:
+                break
+        verdict["hand_stages"] = trim
         verdict["hand_scale_eval"] = res
 
     print("\n==================== VERDICT ====================")
@@ -133,6 +151,11 @@ def main(argv=None) -> int:
           f"{verdict['hand_184_default']}"
           + ("" if verdict["hand_184_default"] == "GO"
              else "   -> export ISLX_HAND_SCALE=1.0"))
+    if "hand_stages" in verdict:
+        n = verdict["hand_stages"]
+        print(f"hand CPM stage trim                    : "
+              + (f"GO for {n} stages -> export ISLX_HAND_STAGES={n}"
+                 if n < 6 else "NO-GO (keep 6 stages)"))
     print(f"int8 trunks as production default      : "
           f"{verdict['int8_default']}"
           + ("" if verdict["int8_default"] == "GO"
