@@ -41,6 +41,7 @@ def test_validate_checkpoints_every_gate_evaluates(capsys, monkeypatch):
     assert verdict["golden_parity"] == "GO"
     assert verdict["int8_default"] in ("GO", "NO-GO")
     assert verdict["hand_184_default"] in ("GO", "NO-GO")
+    assert verdict["hand_160_default"] in ("GO", "NO-GO")
     assert verdict["hand_stages"] in (4, 5, 6)
 
 
@@ -54,7 +55,8 @@ def test_hand_scale_eval_reports_all_configs(monkeypatch):
     assert body_w and hand_w
     res = evaluate(body_w, hand_w, SCENES, crops_per_image=2)
     assert res["n_crops"] > 0
-    for k in ("single_368", "single_184", "s5_184", "s4_184"):
+    for k in ("single_368", "single_184", "s5_184", "s4_184",
+              "single_160", "s5_160"):
         assert k in res
         if res[k] is not None:
             assert np.isfinite(res[k]["mean"])

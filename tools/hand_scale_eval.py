@@ -80,6 +80,10 @@ def evaluate(body_w: str, hand_w: str, images: str = "/root/reference/images",
         # cuts ~2.3 GFLOP/184px-crop — GO when its drift stays <1px
         "s5_184": Hand(hp, HandConfig(scale_search=(0.5,), stages=5)),
         "s4_184": Hand(hp, HandConfig(scale_search=(0.5,), stages=4)),
+        # 160px crops: measured 2203 fps/chip on-device with all 6 stages
+        # (tools/tpu_validate.py trimspan) — the single biggest gated cut
+        "single_160": Hand(hp, HandConfig(scale_search=(160 / 368,))),
+        "s5_160": Hand(hp, HandConfig(scale_search=(160 / 368,), stages=5)),
     }
 
     crops = []
@@ -102,7 +106,8 @@ def evaluate(body_w: str, hand_w: str, images: str = "/root/reference/images",
     peaks = {k: [np.asarray(h(c), np.float64) for _, c in crops]
              for k, h in hands.items()}
     out = {"n_crops": len(crops)}
-    for k in ("single_368", "single_184", "s5_184", "s4_184"):
+    for k in ("single_368", "single_184", "s5_184", "s4_184",
+              "single_160", "s5_160"):
         l2 = []
         for ref, got in zip(peaks["ref_4scale"], peaks[k]):
             both = (ref != 0).any(-1) & (got != 0).any(-1)
@@ -131,7 +136,8 @@ def main(argv=None):
         return 0
     res = evaluate(body_w, hand_w, args.images, args.crops_per_image)
     print(f"{res['n_crops']} crops from {args.images}")
-    for k in ("single_368", "single_184", "s5_184", "s4_184"):
+    for k in ("single_368", "single_184", "s5_184", "s4_184",
+              "single_160", "s5_160"):
         s = res[k]
         if s is None:
             print(f"{k}: NO matched keypoints vs ref_4scale "

@@ -399,6 +399,168 @@ def stage_fusedspan():
                   f"(B={B} {hb}x{wb}, module {mname[:40]})")
 
 
+def stage_handpack():
+    """Module-span A/B of hand conv1-block lane packing (VERDICT r3 #1).
+
+    conv1_1 (3->64) and conv1_2 (64->64) fill only 64 of the MXU's 128
+    lanes. Packing the two per-frame hand crops channel-wise halves the
+    batch and doubles the output-channel tile to 128 lanes:
+
+      base   x[N,S,S,3]   -> conv 3->64  -> relu -> conv 64->64  -> relu
+      group  x[N/2,S,S,6] -> conv fg=2 ->128 -> relu -> conv fg=2 ->128
+      dense  x[N/2,S,S,6] -> conv 6->128 (block-diag zeros) -> relu ->
+                              conv 128->128 (block-diag) -> relu
+
+    group/dense compute EXACTLY base's reductions (dense adds +0.0 terms,
+    exact in the f32 accumulator), so outputs are bit-identical — this is a
+    pure layout experiment. If either wins, it is a drop-in for the hand
+    trunk's first block."""
+    import jax.profiler
+
+    S = int(os.environ.get("ISLX_HANDPACK_S", "184"))
+    N = int(os.environ.get("ISLX_HANDPACK_N", "384"))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(N, S, S, 3).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(3, 3, 3, 64).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(3, 3, 64, 64).astype(np.float32) * 0.05)
+    dn = jax.lax.conv_dimension_numbers(
+        (1, S, S, 1), (3, 3, 1, 1), ("NHWC", "HWIO", "NHWC"))
+
+    def conv(v, w, fg=1):
+        return jax.lax.conv_general_dilated(
+            v, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn,
+            feature_group_count=fg, preferred_element_type=jnp.float32)
+
+    # packed weights: group g of the output reads input channels of crop g
+    w1g = jnp.concatenate([w1, w1], -1)                     # [3,3,3,128] fg=2
+    w2g = jnp.concatenate([w2, w2], -1)                     # [3,3,64,128]
+    z13 = jnp.zeros_like(w1)
+    w1d = jnp.concatenate([jnp.concatenate([w1, z13], -1),
+                           jnp.concatenate([z13, w1], -1)], 2)  # [3,3,6,128]
+    z64 = jnp.zeros_like(w2)
+    w2d = jnp.concatenate([jnp.concatenate([w2, z64], -1),
+                           jnp.concatenate([z64, w2], -1)], 2)  # [3,3,128,128]
+
+    def mk(cd):
+        @jax.jit
+        def base(x):
+            h = jax.nn.relu(conv(x.astype(cd), w1.astype(cd)))
+            return jax.nn.relu(conv(h.astype(cd), w2.astype(cd)))
+
+        @jax.jit
+        def group(xp):
+            h = jax.nn.relu(conv(xp.astype(cd), w1g.astype(cd), fg=2))
+            return jax.nn.relu(conv(h.astype(cd), w2g.astype(cd), fg=2))
+
+        @jax.jit
+        def dense(xp):
+            h = jax.nn.relu(conv(xp.astype(cd), w1d.astype(cd)))
+            return jax.nn.relu(conv(h.astype(cd), w2d.astype(cd)))
+
+        return base, group, dense
+
+    xp = jnp.concatenate([x[0::2], x[1::2]], -1)            # [N/2,S,S,6]
+
+    # numerics check in f32 on a small slice (proves the layout math; the
+    # production spans run bf16, where the inter-conv bf16 cast of an
+    # f32-order-divergent intermediate can flip a ulp — not a layout error)
+    ne = 8
+    base32, group32, dense32 = mk(jnp.float32)
+    yb = np.asarray(base32(x[:ne]))
+    for name, fn in (("group", group32), ("dense", dense32)):
+        yp = np.asarray(fn(xp[:ne // 2]))
+        un = np.stack([yp[..., :64], yp[..., 64:]], 1).reshape(yb.shape)
+        # same reductions, but XLA may tile/accumulate in a different order
+        # per module — exact is the expectation, tiny f32-order drift is OK
+        d = float(np.abs(un - yb).max())
+        scale = float(np.abs(yb).max()) or 1.0
+        print(f"[handpack] {name} vs base (f32): max|diff|={d:.2e} "
+              f"({'bit-exact' if d == 0 else 'f32-order'}) "
+              f"{'PASS' if d <= 1e-5 * scale else 'FAIL'}")
+
+    base, group, dense = mk(jnp.bfloat16)
+
+    for name, fn, arg in (("base", base, x), ("group", group, xp),
+                          ("dense", dense, xp)):
+        np.asarray(fn(arg))    # warm
+        tdir = f"/tmp/islx_handpack_{name}"
+        with jax.profiler.trace(tdir):
+            for _ in range(6):
+                np.asarray(fn(arg))
+        spans = [(m, ms) for m, ms in _module_spans_ms(tdir).items()
+                 if "jit" in m]
+        for mname, ms in spans:
+            print(f"[handpack] {name}: {ms:.2f} ms/step "
+                  f"(N={N} S={S}, module {mname[:30]})")
+
+
+def stage_trimspan():
+    """Module-span capability of the ACCURACY-GATED FLOP cuts (VERDICT r3
+    #1): the fused int8 program with hand CPM stages 6/5/4
+    (HandConfig.stages — each trimmed stage is ~2.3 GFLOP per 184px crop)
+    and with 160px hand crops (scale 160/368). These are capability
+    measurements for BENCH_NOTES/PARITY — the production defaults stay
+    reference-exact until tools/validate_checkpoints.py flips a gate on a
+    real checkpoint."""
+    import cv2
+    import jax.profiler
+
+    from islx.core import checkpoint as ckpt
+    from islx.core.config import HandConfig
+    from islx.models import cpm
+    from islx.ops import yuv
+    from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
+
+    B = int(os.environ.get("ISLX_FUSED_B", "192"))
+    img = cv2.imread("/root/reference/images/demo.jpg")
+    if img is None:
+        img = (np.random.RandomState(0).rand(512, 384, 3) * 255
+               ).astype(np.uint8)
+    h0, w0 = img.shape[:2]
+    hb, wb = bucket_for(h0, w0, target_h=184)
+    frame = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
+    frames = np.broadcast_to(frame, (B, hb, wb, 3)).copy()
+    frames_yuv = yuv.bgr_to_yuv420_host(frames)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bp, hp = cpm.init_params("body25"), cpm.init_params("hand")
+    cdir = os.path.join(repo, ".bench_cache")
+    for name in (os.listdir(cdir) if os.path.isdir(cdir) else []):
+        if name.startswith(f"int8_{hb}x{wb}") and name.endswith("_body"):
+            base = os.path.join(cdir, name[:-5])
+            if ckpt.exists(base + "_body") and ckpt.exists(base + "_hand"):
+                bp = ckpt.load_pytree(base + "_body")
+                hp = ckpt.load_pytree(base + "_hand")
+                print("[trimspan] int8 pytrees from .bench_cache")
+                break
+
+    variants = {
+        "s6_184": HandConfig(scale_search=(0.5,), stages=6),   # production
+        "s5_184": HandConfig(scale_search=(0.5,), stages=5),
+        "s4_184": HandConfig(scale_search=(0.5,), stages=4),
+        "s6_160": HandConfig(scale_search=(160 / 368,), stages=6),
+        "s5_160": HandConfig(scale_search=(160 / 368,), stages=5),
+    }
+    for vname, hcfg in variants.items():
+        pipe = FusedPosePipeline(bp, hp, hand_cfg=hcfg,
+                                 compute_dtype=jnp.bfloat16)
+
+        def step(i):
+            frames_yuv[(i * 131) % (B * hb * wb)] ^= 1
+            return pipe.device_step_flat(jnp.asarray(frames_yuv), B, hb, wb,
+                                         (h0, w0), 0.4, input_format="yuv420")
+
+        np.asarray(step(0))   # compile + warm outside the trace
+        tdir = f"/tmp/islx_trimspan_{vname}"
+        with jax.profiler.trace(tdir):
+            for i in range(1, 7):
+                np.asarray(step(i))
+        for mname, ms in sorted(_module_spans_ms(tdir).items()):
+            if "jit" in mname:
+                print(f"[trimspan] {vname}: {ms:.1f} ms/step = "
+                      f"{B / ms * 1000:.0f} fps/chip on-device (B={B})")
+
+
 def stage_stem():
     """Module-span A/B of VGG-stem formulations at bench shapes.
 
@@ -752,12 +914,22 @@ STAGES = {"kernels": stage_kernels, "nmspeaks": stage_nmspeaks,
           "fused": stage_fused, "profile": stage_profile,
           "peaksel": stage_peaksel, "pafchunk": stage_pafchunk,
           "pafmode": stage_pafmode, "stem": stage_stem,
+          "trimspan": stage_trimspan, "handpack": stage_handpack,
           "nmsmask": stage_nmsmask, "fusedspan": stage_fusedspan,
           "packab": stage_packab, "depthab": stage_depthab,
           "aotsave": stage_aotsave, "aotload": stage_aotload}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["kernels", "handcompile", "fused"]
+    # patient-probe protocol (bench.py's): a wedged relay must not hang the
+    # in-process backend init — probe in a subprocess first, with the
+    # one-silence-window recovery cycle. ISLX_NO_PROBE=1 skips.
+    if not os.environ.get("ISLX_NO_PROBE"):
+        import bench as _bench
+
+        if not _bench._tpu_alive():
+            print("TPU unreachable after patient probe; aborting")
+            sys.exit(1)
     print("devices:", jax.devices())
     for name in names:
         try:

@@ -120,7 +120,8 @@ def main(argv=None) -> int:
         verdict["hand_184_default"] = "UNEVALUATED"
         res = None
     if res is not None:
-        for k in ("single_368", "single_184", "s5_184", "s4_184"):
+        for k in ("single_368", "single_184", "s5_184", "s4_184",
+                  "single_160", "s5_160"):
             s = res.get(k)
             line = ("NO matched keypoints (unusable)" if s is None else
                     f"mean L2 {s['mean']:.2f}px  p95 {s['p95']:.2f}px  "
@@ -129,6 +130,12 @@ def main(argv=None) -> int:
         s184 = res["single_184"]
         verdict["hand_184_default"] = (
             "GO" if s184 is not None and s184["mean"] < args.hand_gate_px
+            else "NO-GO")
+        # 160px crops (scale 160/368): 2203 fps/chip on-device with all 6
+        # stages (tools/tpu_validate.py trimspan) — gate like 184
+        s160 = res.get("single_160")
+        verdict["hand_160_default"] = (
+            "GO" if s160 is not None and s160["mean"] < args.hand_gate_px
             else "NO-GO")
         # deepest CPM stage trim whose drift stays under the gate
         # (HandConfig.stages / ISLX_HAND_STAGES — cpm.hand_forward)
@@ -151,6 +158,11 @@ def main(argv=None) -> int:
           f"{verdict['hand_184_default']}"
           + ("" if verdict["hand_184_default"] == "GO"
              else "   -> export ISLX_HAND_SCALE=1.0"))
+    if "hand_160_default" in verdict:
+        print(f"160px hand crops (2203 fps/chip span)  : "
+              f"{verdict['hand_160_default']}"
+              + ("   -> export ISLX_HAND_SCALE=0.4348"
+                 if verdict["hand_160_default"] == "GO" else ""))
     if "hand_stages" in verdict:
         n = verdict["hand_stages"]
         print(f"hand CPM stage trim                    : "
