@@ -5,8 +5,10 @@ runs the FUSED pose program (islx.pipeline.batch_pose.FusedPosePipeline) —
 BODY_25 CPM on the bucketed scale-0.5 input, device NMS + PAF scoring +
 device-sorted connection compaction, ON-DEVICE hand-box placement from the
 PAF tables (islx.ops.hand_boxes), two hand crops per frame cut on device and
-run through the hand CPM at the 184px production resolution
-(HandConfig.production, PARITY.md #7; ISLX_HAND_SCALE=1.0 restores 368) with
+run through the hand CPM at the gated production resolution (184px default;
+160px when the checkpoint accuracy gate says GO — _gated_hand_cfg reads the
+gates.json that tools/validate_checkpoints.py writes; PARITY.md #7;
+ISLX_HAND_SCALE=1.0 restores 368) with
 coarse-to-fine peak refinement — ONE u8 upload and ONE bit-packed fetch per
 batch; host greedy grouping consumes the same fetch. Weights are random (the
 reference ships none) — FLOPs and memory traffic are identical to converted
@@ -94,6 +96,41 @@ def _tpu_alive() -> bool:
     return alive
 
 
+def _gated_hand_cfg():
+    """Flagship hand-crop config: the 184px production default, flipped to
+    160px crops (all 6 CPM stages: 2203 fps/chip device span; s5: 2308 —
+    BENCH_NOTES.md trimspan) when the per-checkpoint accuracy gate says GO.
+    tools/validate_checkpoints.py writes the verdict to gates.json next to
+    the evaluated weights (the synthetic trained bundle stands in until the
+    reference's download-only checkpoints exist — PARITY.md #7). Explicit
+    ISLX_HAND_SCALE / ISLX_HAND_STAGES env always wins (HandConfig reads
+    them)."""
+    import dataclasses
+
+    from islx.core.config import HandConfig
+
+    cfg = HandConfig.production()
+    if "ISLX_HAND_SCALE" in os.environ or "ISLX_HAND_STAGES" in os.environ:
+        return cfg, "env override"
+    wdir = os.environ.get("ISLX_WEIGHTS_DIR") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".synthetic_weights")
+    try:
+        with open(os.path.join(wdir, "gates.json")) as f:
+            gates = json.load(f)
+    except (OSError, ValueError):
+        return cfg, "184px default (no gates.json — run "\
+                    "tools/validate_checkpoints.py)"
+    if gates.get("hand_160_default") == "GO":
+        cfg = HandConfig.production(scale=160.0 / 368.0)
+        stages = int(gates.get("hand_160_stages", 6))
+        if stages < 6:
+            cfg = dataclasses.replace(cfg, stages=stages)
+        return cfg, (f"160px s{cfg.stages} (gate GO on "
+                     f"{os.path.basename(wdir) or wdir})")
+    return cfg, (f"184px (160px gate {gates.get('hand_160_default')} on "
+                 f"{os.path.basename(wdir) or wdir})")
+
+
 def main():
     import cv2
 
@@ -131,7 +168,10 @@ def main():
     body_params = cpm.init_params("body25")
     hand_params = cpm.init_params("hand")
 
+    hand_cfg, hand_gate = _gated_hand_cfg()
+    _log(f"flagship hand config: {hand_gate}")
     pipes = {"bf16": FusedPosePipeline(body_params, hand_params,
+                                       hand_cfg=hand_cfg,
                                        compute_dtype=jnp.bfloat16)}
     # int8 (W8A8) trunks (islx.models.quant): ~2x MXU peak on v5e. The
     # production candidate and the HEADLINE config (VERDICT r2 #2); the
@@ -162,32 +202,43 @@ def main():
         # on disk so the driver's scored run never re-pays it
         from islx.core import checkpoint as ckpt
 
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache", f"int8_{hb}x{wb}_h{hsize}")
-        qbody = qhand = None
-        if ckpt.exists(cache + "_body") and ckpt.exists(cache + "_hand"):
-            try:
-                qbody = ckpt.load_pytree(cache + "_body")
-                qhand = ckpt.load_pytree(cache + "_hand")
-                _log("int8 quantization loaded from .bench_cache")
-            except Exception as e:
-                # a run killed mid-save leaves a partial orbax dir that
-                # exists() accepts — self-heal by recalibrating rather than
-                # failing every future scored run
-                qbody = qhand = None
-                _log(f"int8 cache unreadable ({type(e).__name__}); "
-                     "recalibrating")
-        if qbody is None:
+        # per-net cache keys: the body calibration only depends on the
+        # input bucket, the hand calibration only on the crop size — a
+        # hand-scale flip (the gated 184->160 move) must not re-pay the
+        # ~5-min eager body calibration. Legacy combined-key entries
+        # (int8_{hb}x{wb}_h{hsize}_*) still load.
+        croot = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+        legacy = os.path.join(croot, f"int8_{hb}x{wb}_h{hsize}")
+
+        def _q(path, what, fn):
+            for p in (path, legacy + "_" + what.split()[0]):
+                if ckpt.exists(p):
+                    try:
+                        q = ckpt.load_pytree(p)
+                        _log(f"int8 {what} quantization loaded "
+                             f"({os.path.basename(p)})")
+                        return q
+                    except Exception as e:
+                        # a run killed mid-save leaves a partial orbax dir
+                        # that exists() accepts — self-heal by recalibrating
+                        _log(f"int8 cache unreadable ({type(e).__name__}); "
+                             "recalibrating " + what)
             with ctx:
-                qbody = quant.quantize_model(body_params, "body25", [xcal])
-                qhand = quant.quantize_model(hand_params, "hand", [hcal])
+                q = fn()
             # host copies: CPU-committed arrays can't feed the TPU program
-            qbody = jax.tree.map(np.asarray, qbody)
-            qhand = jax.tree.map(np.asarray, qhand)
-            ckpt.save_pytree(cache + "_body", qbody)
-            ckpt.save_pytree(cache + "_hand", qhand)
-            _log("int8 quantization (CPU calibration) done")
-        pipes["int8"] = FusedPosePipeline(qbody, qhand,
+            q = jax.tree.map(np.asarray, q)
+            ckpt.save_pytree(path, q)
+            _log(f"int8 {what} quantization (CPU calibration) done")
+            return q
+
+        qbody = _q(os.path.join(croot, f"int8_{hb}x{wb}_body"), "body",
+                   lambda: quant.quantize_model(body_params, "body25",
+                                                [xcal]))
+        qhand = _q(os.path.join(croot, f"int8_h{hsize}_hand"), "hand",
+                   lambda: quant.quantize_model(hand_params, "hand",
+                                                [hcal]))
+        pipes["int8"] = FusedPosePipeline(qbody, qhand, hand_cfg=hand_cfg,
                                           compute_dtype=jnp.bfloat16)
     headline = "int8" if "int8" in pipes else "bf16"
     # thre1 calibration runs on the HEADLINE program: its compile is the one
@@ -394,6 +445,10 @@ def main():
             "configs": {k: round(v, 2) for k, v in results.items()},
             "headline_config": best,
             "upload": "yuv420" if use_yuv else "bgr",
+            "hand_px": int(round(hand_cfg.scale_search[0]
+                                 * hand_cfg.boxsize)),
+            "hand_stages": hand_cfg.stages,
+            "hand_gate": hand_gate,
         }
         if len(lat_ms) >= 5:
             rec["latency_ms_p50"] = round(float(np.percentile(lat_ms, 50)), 1)

@@ -67,7 +67,7 @@ def _params_sig(params) -> str:
 # artifact was built at these fields' defaults) so existing caches stay
 # valid while NEW exports pin the full configuration
 _LENIENT = ("det_cfg", "hand_boxsize", "crop_chunk", "two_stage_peaks",
-            "fused_peaks", "thre2")
+            "fused_peaks", "thre2", "hand_stages")
 
 
 def _fingerprint(pipe) -> dict:
@@ -85,6 +85,7 @@ def _fingerprint(pipe) -> dict:
         "max_peaks": pipe.body.cfg.max_peaks,
         "top_m": pipe.body.top_m,
         "hand_scales": tuple(pipe.hand.cfg.scale_search),
+        "hand_stages": pipe.hand.cfg.stages,
         "params_sig": _params_sig((pipe.body.params, pipe.hand.params)),
         # mesh-sharded programs pin device topology; serving uses mesh=None
         "sharded": pipe.mesh is not None,

@@ -137,6 +137,13 @@ def main(argv=None) -> int:
         verdict["hand_160_default"] = (
             "GO" if s160 is not None and s160["mean"] < args.hand_gate_px
             else "NO-GO")
+        # deepest stage trim that ALSO holds at 160px (s5@160 = 2308
+        # fps/chip device span — BENCH_NOTES.md trimspan); gated on its own
+        # measured drift, not inferred from the 184px trims
+        s = res.get("s5_160")
+        verdict["hand_160_stages"] = (
+            5 if (verdict["hand_160_default"] == "GO" and s is not None
+                  and s["mean"] < args.hand_gate_px) else 6)
         # deepest CPM stage trim whose drift stays under the gate
         # (HandConfig.stages / ISLX_HAND_STAGES — cpm.hand_forward)
         trim = 6
@@ -174,6 +181,15 @@ def main(argv=None) -> int:
              else "   -> keep bf16 (drop --int8-after)"))
     if args.json:
         print(json.dumps(verdict, default=str))
+    # persist the verdict next to the evaluated weights: production
+    # consumers (bench.py flagship config, pipelines) read gates.json
+    # instead of re-running the evaluation
+    try:
+        with open(os.path.join(wdir, "gates.json"), "w") as f:
+            json.dump(verdict, f, default=str, indent=1)
+        print(f"\nverdict written to {os.path.join(wdir, 'gates.json')}")
+    except OSError as e:
+        print(f"\ncould not write gates.json: {e}")
     gates = ("golden_parity", "hand_184_default", "int8_default")
     return 0 if all(verdict.get(g) in ("GO", "NO-GO") for g in gates) else 1
 
