@@ -106,6 +106,47 @@ def gaussian_heatmap_targets(keypoints: np.ndarray, visible: np.ndarray,
     return out
 
 
+def pose_targets(kp: np.ndarray, vis: np.ndarray, h8: int, w8: int,
+                 model_type: str = "body25", sigma: float = 7.0):
+    """Multi-person keypoint annotations -> supervision in the NET's layout.
+
+    kp [P,J,2] input-pixel (x,y) for P people, vis [P,J] bool ->
+    (heat [h8,w8,J+1], paf [h8,w8,npaf] | None). Heatmaps are max-combined
+    across people with the background channel last; body-model PAFs are
+    unit-vector fields in the net's MAP_IDX channel layout, count-averaged
+    where people overlap (the OpenPose GT rule). Hand returns heat only.
+    """
+    from islx.ops.paf import LIMB_TABLES
+
+    p, j = kp.shape[:2]
+    heats = [gaussian_heatmap_targets(kp[i][None], vis[i][None], h8, w8,
+                                      sigma=sigma) for i in range(p)]
+    joint = np.max(np.stack([h[0, :, :, :j] for h in heats]), axis=0)
+    bg = 1.0 - joint.max(-1)
+    heat = np.concatenate([joint, bg[..., None]], -1)
+    if model_type == "hand":
+        return heat, None
+
+    limb_seq, map_idx = LIMB_TABLES[model_type]
+    npaf = {"body25": 52, "coco": 38}[model_type]
+    paf = np.zeros((h8, w8, npaf), np.float32)
+    cnt = np.zeros((h8, w8, npaf // 2), np.int32)
+    for i in range(p):
+        limbs = np.stack([np.stack([kp[i, a], kp[i, b]])
+                          for a, b in limb_seq.tolist()])
+        valid = np.array([vis[i, a] and vis[i, b]
+                          for a, b in limb_seq.tolist()])
+        t = paf_targets(limbs[None], valid[None], h8, w8)[0]
+        for k in range(len(limb_seq)):
+            c0, c1 = int(map_idx[k, 0]), int(map_idx[k, 1])
+            m = (t[:, :, 2 * k] != 0) | (t[:, :, 2 * k + 1] != 0)
+            paf[:, :, c0] += np.where(m, t[:, :, 2 * k], 0)
+            paf[:, :, c1] += np.where(m, t[:, :, 2 * k + 1], 0)
+            cnt[:, :, c0 // 2] += m
+    denom = np.maximum(np.repeat(cnt, 2, axis=2), 1)
+    return heat, paf / denom
+
+
 def paf_targets(limbs_xy: np.ndarray, valid: np.ndarray, h8: int, w8: int,
                 stride: int = 8, width: float = 1.0) -> np.ndarray:
     """Ground-truth PAFs from limb segments.

@@ -51,7 +51,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
 from islx.models import cpm, pose_train as PT  # noqa: E402
-from islx.ops.paf import LIMB_SEQ_BODY25, MAP_IDX_BODY25  # noqa: E402
+from islx.ops.paf import LIMB_SEQ_BODY25  # noqa: E402
 
 REF_IMAGES = "/root/reference/images"
 
@@ -186,31 +186,8 @@ def render_hand(rng: np.random.RandomState, size: int, bgs):
 
 def body_targets(kp: np.ndarray, vis: np.ndarray, h8: int, w8: int):
     """Multi-person joints -> (heat [h8,w8,26], paf [h8,w8,52]) with PAFs in
-    the net's MAP_IDX channel layout (islx.ops.paf.MAP_IDX_BODY25)."""
-    # per-person heatmaps, max-combined across people (OpenPose GT rule)
-    p = kp.shape[0]
-    heats = [PT.gaussian_heatmap_targets(kp[i][None], vis[i][None], h8, w8)
-             for i in range(p)]
-    joint = np.max(np.stack([h[0, :, :, :25] for h in heats]), axis=0)
-    bg = 1.0 - joint.max(-1)
-    heat = np.concatenate([joint, bg[..., None]], -1)
-
-    paf = np.zeros((h8, w8, 52), np.float32)
-    cnt = np.zeros((h8, w8, 26), np.int32)
-    for i in range(p):
-        limbs = np.stack([np.stack([kp[i, a], kp[i, b]])
-                          for a, b in LIMB_SEQ_BODY25.tolist()])
-        valid = np.array([vis[i, a] and vis[i, b]
-                          for a, b in LIMB_SEQ_BODY25.tolist()])
-        t = PT.paf_targets(limbs[None], valid[None], h8, w8)[0]
-        for k in range(24):
-            c0, c1 = int(MAP_IDX_BODY25[k, 0]), int(MAP_IDX_BODY25[k, 1])
-            m = (t[:, :, 2 * k] != 0) | (t[:, :, 2 * k + 1] != 0)
-            paf[:, :, c0] += np.where(m, t[:, :, 2 * k], 0)
-            paf[:, :, c1] += np.where(m, t[:, :, 2 * k + 1], 0)
-            cnt[:, :, c0 // 2] += m
-    denom = np.maximum(np.repeat(cnt, 2, axis=2), 1)
-    return heat, paf / denom
+    the net's MAP_IDX channel layout (islx.models.pose_train.pose_targets)."""
+    return PT.pose_targets(kp, vis, h8, w8, "body25")
 
 
 # ---------------------------------------------------------------------------
