@@ -103,32 +103,12 @@ def _gated_hand_cfg():
     tools/validate_checkpoints.py writes the verdict to gates.json next to
     the evaluated weights (the synthetic trained bundle stands in until the
     reference's download-only checkpoints exist — PARITY.md #7). Explicit
-    ISLX_HAND_SCALE / ISLX_HAND_STAGES env always wins (HandConfig reads
-    them)."""
-    import dataclasses
-
+    ISLX_HAND_SCALE / ISLX_HAND_STAGES env always wins. The logic lives in
+    HandConfig.gated so the batched CLIs / serving / AOT export resolve the
+    same recorded verdict."""
     from islx.core.config import HandConfig
 
-    cfg = HandConfig.production()
-    if "ISLX_HAND_SCALE" in os.environ or "ISLX_HAND_STAGES" in os.environ:
-        return cfg, "env override"
-    wdir = os.environ.get("ISLX_WEIGHTS_DIR") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".synthetic_weights")
-    try:
-        with open(os.path.join(wdir, "gates.json")) as f:
-            gates = json.load(f)
-    except (OSError, ValueError):
-        return cfg, "184px default (no gates.json — run "\
-                    "tools/validate_checkpoints.py)"
-    if gates.get("hand_160_default") == "GO":
-        cfg = HandConfig.production(scale=160.0 / 368.0)
-        stages = int(gates.get("hand_160_stages", 6))
-        if stages < 6:
-            cfg = dataclasses.replace(cfg, stages=stages)
-        return cfg, (f"160px s{cfg.stages} (gate GO on "
-                     f"{os.path.basename(wdir) or wdir})")
-    return cfg, (f"184px (160px gate {gates.get('hand_160_default')} on "
-                 f"{os.path.basename(wdir) or wdir})")
+    return HandConfig.gated()
 
 
 def main():

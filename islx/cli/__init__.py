@@ -21,3 +21,21 @@ if (not os.environ.get("ISLX_NO_JAX_CACHE")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:   # cache is an optimization, never a requirement
         pass
+
+
+def gated_hand_cfg(hand_weights: str | None = None, log=None):
+    """Production hand config resolved through the per-checkpoint accuracy
+    gate (islx.core.config.HandConfig.gated): gates.json written by
+    tools/validate_checkpoints.py next to the weights decides the 160px
+    flip; env (ISLX_HAND_SCALE/ISLX_HAND_STAGES) always wins. CLIs pass the
+    --hand-weights path so the verdict travels with the checkpoint."""
+    import os
+
+    from islx.core.config import HandConfig
+
+    wdir = (os.path.dirname(os.path.abspath(hand_weights))
+            if hand_weights else None)
+    cfg, note = HandConfig.gated(wdir)
+    if log is not None:
+        log(f"hand config: {note}")
+    return cfg

@@ -89,8 +89,11 @@ def main(argv=None):
                    if args.hand_weights else cpm.init_params("hand"))
     # fused: one device program (one upload + one fetch) per frame — halves
     # the per-frame transfer round trips on tunneled TPU runtimes
+    from islx.cli import gated_hand_cfg
+
     pose = ImagePose(body_params, hand_params, args.model_type,
-                     fused=not args.multi_person)
+                     fused=not args.multi_person,
+                     hand_cfg=gated_hand_cfg(args.hand_weights, log=print))
 
     cap = open_capture(args.source, args.width, args.height)
     if not cap.isOpened():

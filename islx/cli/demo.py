@@ -22,11 +22,14 @@ def build_pose(args):
         from islx.core import weights as W
         from islx.pipeline.image import ImagePose
 
+        from islx.cli import gated_hand_cfg
+
         return ImagePose(
             W.load(args.body_weights, args.model_type)
             if args.body_weights else None,
             W.load(args.hand_weights, "hand") if args.hand_weights else None,
-            args.model_type)
+            args.model_type,
+            hand_cfg=gated_hand_cfg(args.hand_weights, log=print))
     from islx.isl.translator import ISLSignPos
     from islx.pose.body import Body
     from islx.pose.hand import Hand

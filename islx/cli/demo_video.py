@@ -75,8 +75,11 @@ def main(argv=None):
                                else W.load(args.hand_weights, "hand"))
                 # body + on-device hand boxes + hand CPM in one program:
                 # one upload, one fetch per batch
-                pipe = FusedPosePipeline(body_params, hand_params,
-                                         args.model_type, pose_cfg)
+                from islx.cli import gated_hand_cfg
+
+                pipe = FusedPosePipeline(
+                    body_params, hand_params, args.model_type, pose_cfg,
+                    hand_cfg=gated_hand_cfg(args.hand_weights, log=print))
             hb, wb = bucket_for(meta.height, meta.width)
             sy, sx = meta.height / hb, meta.width / wb
 

@@ -40,25 +40,26 @@ def main(argv=None):
                         "scale-value independent)")
     args = p.parse_args(argv)
 
+    from islx.cli import gated_hand_cfg
     from islx.core import aot
     from islx.models import cpm
     from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
 
+    # exported programs must match what serving will run: the same
+    # gate-resolved hand config (gates.json / env) feeds both
+    hcfg = gated_hand_cfg(log=print)
     bp, hp = cpm.init_params(args.model_type), cpm.init_params("hand")
     if args.int8:
         import numpy as np
 
         from islx.models import quant
 
-        from islx.core.config import HandConfig
-
-        hcfg = HandConfig.production()
         hsize = int(np.rint(hcfg.scale_search[0] * hcfg.boxsize))
         cal = [np.zeros((1, args.target_h, args.target_h, 3), np.float32)]
         bp = quant.quantize_model(bp, args.model_type, cal)
         hp = quant.quantize_model(
             hp, "hand", [np.zeros((1, hsize, hsize, 3), np.float32)])
-    pipe = FusedPosePipeline(bp, hp, args.model_type)
+    pipe = FusedPosePipeline(bp, hp, args.model_type, hand_cfg=hcfg)
 
     os.makedirs(args.out, exist_ok=True)
     for spec in args.orig:

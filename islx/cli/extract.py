@@ -67,11 +67,14 @@ def main(argv=None):
             from islx.parallel.mesh import make_mesh
 
             mesh = make_mesh(n_data=args.mesh_data)
+        from islx.cli import gated_hand_cfg
+
         pose = FusedPosePipeline(
             W.load(args.body_weights, "body25")
             if args.body_weights else cpm.init_params("body25"),
             W.load(args.hand_weights, "hand")
             if args.hand_weights else cpm.init_params("hand"),
+            hand_cfg=gated_hand_cfg(args.hand_weights, log=print),
             mesh=mesh)
         batch = args.batch
     if args.shard_index is None or args.num_shards is None:

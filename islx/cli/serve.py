@@ -54,12 +54,15 @@ def main(argv=None):
         from islx.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.mesh_data)
+    from islx.cli import gated_hand_cfg
+
     pipe = FusedPosePipeline(
         W.load(args.body_weights, args.model_type)
         if args.body_weights else cpm.init_params(args.model_type),
         W.load(args.hand_weights, "hand")
         if args.hand_weights else cpm.init_params("hand"),
         args.model_type,
+        hand_cfg=gated_hand_cfg(args.hand_weights, log=print),
         mesh=mesh)
     server = PoseServer(pipe, args.host, args.port,
                         max_batch=args.max_batch,

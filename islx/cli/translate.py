@@ -92,6 +92,8 @@ def main(argv=None):
             from islx.parallel.mesh import make_mesh
 
             mesh = make_mesh(n_data=args.mesh_data)
+        from islx.cli import gated_hand_cfg
+
         pipe = BatchedTranslatePipeline(
             body_params=(body_params if body_params is not None
                          else (W.load(args.body_weights, "body25")
@@ -100,6 +102,7 @@ def main(argv=None):
                          else (W.load(args.hand_weights, "hand")
                                if args.hand_weights else None)),
             head_params=head_params,
+            hand_cfg=gated_hand_cfg(args.hand_weights, log=print),
             batch=args.batch,
             mesh=mesh)
         for idx, cid, expr, prob in pipe.translate_video(args.video):

@@ -81,6 +81,46 @@ class HandConfig:
         return cls(scale_search=(scale,),
                    stages=int(os.environ.get("ISLX_HAND_STAGES", "6")))
 
+    @classmethod
+    def gated(cls, weights_dir: str | None = None) -> tuple:
+        """(config, note): the production default, flipped to 160px crops
+        when a per-checkpoint accuracy gate recorded GO.
+
+        tools/validate_checkpoints.py measures the keypoint drift of the
+        160px configs per checkpoint and writes the verdict to ``gates.json``
+        next to the evaluated weights (PARITY.md #7); every production
+        surface (bench.py flagship, the batched CLIs, serving, AOT export)
+        resolves its hand config through here so the flip is one recorded
+        decision, never a hardcode. Lookup order: explicit ``weights_dir``
+        (CLIs pass the directory holding --hand-weights) >
+        ``ISLX_WEIGHTS_DIR`` > ``<repo>/.synthetic_weights``. Explicit
+        ``ISLX_HAND_SCALE`` / ``ISLX_HAND_STAGES`` env always wins."""
+        import json
+        import os
+
+        cfg = cls.production()
+        if "ISLX_HAND_SCALE" in os.environ or "ISLX_HAND_STAGES" in os.environ:
+            return cfg, "env override"
+        wdir = (weights_dir or os.environ.get("ISLX_WEIGHTS_DIR")
+                or os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))),
+                    ".synthetic_weights"))
+        try:
+            with open(os.path.join(wdir, "gates.json")) as f:
+                gates = json.load(f)
+        except (OSError, ValueError):
+            return cfg, ("184px default (no gates.json — run "
+                         "tools/validate_checkpoints.py)")
+        if gates.get("hand_160_default") == "GO":
+            cfg = cls.production(scale=160.0 / 368.0)
+            stages = int(gates.get("hand_160_stages", 6))
+            if stages < 6:
+                cfg = dataclasses.replace(cfg, stages=stages)
+            return cfg, (f"160px s{cfg.stages} (gate GO on "
+                         f"{os.path.basename(wdir) or wdir})")
+        return cfg, (f"184px (160px gate {gates.get('hand_160_default')} on "
+                     f"{os.path.basename(wdir) or wdir})")
+
 
 @dataclasses.dataclass(frozen=True)
 class DetectorConfig:

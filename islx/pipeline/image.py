@@ -37,7 +37,8 @@ class ImagePose:
                  model_type: str = "body25",
                  max_hands: int = 4,
                  compute_dtype=jnp.bfloat16,
-                 fused: bool = False):
+                 fused: bool = False,
+                 hand_cfg: Optional[HandConfig] = None):
         self.model_type = model_type
         self.fused = fused
         body_params = (body_params if body_params is not None
@@ -45,18 +46,18 @@ class ImagePose:
         hand_params = (hand_params if hand_params is not None
                        else cpm.init_params("hand"))
         pose_cfg = PoseConfig(model_type=model_type, max_peaks=16)
+        hand_cfg = hand_cfg or HandConfig.production()
         if fused:
             self.pipe = FusedPosePipeline(body_params, hand_params,
                                           model_type, pose_cfg,
-                                          HandConfig.production(),
+                                          hand_cfg,
                                           compute_dtype=compute_dtype)
             self.max_hands = FusedPosePipeline.MAX_HANDS
         else:
             self.max_hands = max_hands
             self.body = BatchedBodyPipeline(body_params, model_type, pose_cfg,
                                             compute_dtype=compute_dtype)
-            self.hand = BatchedHandPipeline(hand_params,
-                                            HandConfig.production(),
+            self.hand = BatchedHandPipeline(hand_params, hand_cfg,
                                             compute_dtype=compute_dtype)
 
     def __call__(self, img: np.ndarray

@@ -62,3 +62,42 @@ def test_corrupt_gates_json_falls_back(monkeypatch, tmp_path):
     (tmp_path / "gates.json").write_text("{not json")
     cfg, _ = bench._gated_hand_cfg()
     assert int(round(cfg.scale_search[0] * cfg.boxsize)) == 184
+
+
+def test_handconfig_gated_is_the_library_surface(monkeypatch, tmp_path):
+    """The gate logic lives in HandConfig.gated (islx/core/config.py) so
+    production CLIs resolve the same recorded verdict as bench.py."""
+    _clear_env(monkeypatch)
+    (tmp_path / "gates.json").write_text(json.dumps(
+        {"hand_160_default": "GO", "hand_160_stages": 6}))
+    from islx.core.config import HandConfig
+
+    cfg, note = HandConfig.gated(str(tmp_path))
+    assert int(round(cfg.scale_search[0] * cfg.boxsize)) == 160
+    assert cfg.stages == 6
+    assert "GO" in note
+
+
+def test_cli_helper_reads_gates_next_to_weights(monkeypatch, tmp_path):
+    """islx.cli.gated_hand_cfg: the verdict travels with the checkpoint —
+    gates.json sits in the --hand-weights directory."""
+    _clear_env(monkeypatch)
+    (tmp_path / "gates.json").write_text(json.dumps(
+        {"hand_160_default": "GO"}))
+    w = tmp_path / "hand.npz"
+    w.write_bytes(b"")
+    from islx.cli import gated_hand_cfg
+
+    notes = []
+    cfg = gated_hand_cfg(str(w), log=notes.append)
+    assert int(round(cfg.scale_search[0] * cfg.boxsize)) == 160
+    assert notes and "GO" in notes[0]
+
+
+def test_cli_helper_default_without_weights(monkeypatch, tmp_path):
+    _clear_env(monkeypatch)
+    monkeypatch.setenv("ISLX_WEIGHTS_DIR", str(tmp_path))  # no gates.json
+    from islx.cli import gated_hand_cfg
+
+    cfg = gated_hand_cfg(None)
+    assert int(round(cfg.scale_search[0] * cfg.boxsize)) == 184
