@@ -26,16 +26,26 @@ if (not os.environ.get("ISLX_NO_JAX_CACHE")
 def gated_hand_cfg(hand_weights: str | None = None, log=None):
     """Production hand config resolved through the per-checkpoint accuracy
     gate (islx.core.config.HandConfig.gated): gates.json written by
-    tools/validate_checkpoints.py next to the weights decides the 160px
-    flip; env (ISLX_HAND_SCALE/ISLX_HAND_STAGES) always wins. CLIs pass the
-    --hand-weights path so the verdict travels with the checkpoint."""
-    import os
+    tools/validate_checkpoints.py next to the weights decides the scale/
+    stage flips; env (ISLX_HAND_SCALE/ISLX_HAND_STAGES) always wins. CLIs
+    pass the --hand-weights path so the verdict travels with the checkpoint.
 
+    When NO weights path is given the pipeline runs random init params, so
+    no recorded verdict applies to them — the helper stays at the ungated
+    production default instead of borrowing a GO/NO-GO recorded for some
+    other checkpoint (ADVICE r4: the synthetic bundle's verdict must not
+    flip serving of weights that were never evaluated)."""
     from islx.core.config import HandConfig
 
-    wdir = (os.path.dirname(os.path.abspath(hand_weights))
-            if hand_weights else None)
-    cfg, note = HandConfig.gated(wdir)
+    if hand_weights is None:
+        cfg = HandConfig.production()
+        note = ("production default (no --hand-weights: gate verdicts "
+                "travel with checkpoints)")
+    else:
+        import os
+
+        cfg, note = HandConfig.gated(
+            os.path.dirname(os.path.abspath(hand_weights)))
     if log is not None:
         log(f"hand config: {note}")
     return cfg

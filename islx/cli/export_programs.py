@@ -38,6 +38,11 @@ def main(argv=None):
                         "calibration; swap real scales at load via "
                         "quantized checkpoints — program bytes are "
                         "scale-value independent)")
+    p.add_argument("--hand-weights", default=None, metavar="W",
+                   help="the checkpoint serving will run: its gates.json "
+                        "verdict decides the exported hand resolution "
+                        "(program bytes stay weight-independent; without "
+                        "this the ungated production default is exported)")
     args = p.parse_args(argv)
 
     from islx.cli import gated_hand_cfg
@@ -46,8 +51,9 @@ def main(argv=None):
     from islx.pipeline.batch_pose import FusedPosePipeline, bucket_for
 
     # exported programs must match what serving will run: the same
-    # gate-resolved hand config (gates.json / env) feeds both
-    hcfg = gated_hand_cfg(log=print)
+    # gate-resolved hand config (gates.json next to the serving checkpoint,
+    # or env) feeds both
+    hcfg = gated_hand_cfg(args.hand_weights, log=print)
     bp, hp = cpm.init_params(args.model_type), cpm.init_params("hand")
     if args.int8:
         import numpy as np

@@ -61,6 +61,19 @@ def load_samples(data_dir: str, size: int, model_type: str):
     return (np.stack(xs), np.stack(heats), np.stack(pafs))
 
 
+def _epoch_order(n: int, b: int, seed: int, log=None):
+    """Per-epoch sample permutation. With n % b != 0 a fixed order would
+    silently drop the SAME tail samples every epoch (ADVICE r4 — e.g. 9
+    samples at --batch 8 never trains sample 9); shuffling rotates the
+    dropped tail across epochs and the warning makes it visible."""
+    import numpy as np
+
+    if log is not None and n % b:
+        log(f"note: {n} samples % batch {b} leaves {n % b}/epoch out; "
+            "per-epoch shuffling rotates which ones")
+    return np.random.RandomState(seed).permutation(n)
+
+
 def _train_pipeline(params, x, heat_t, paf_t, args, log):
     """GPipe path: per-segment params stay on their devices; one optax
     state per segment; PipelinedCPM.grads == the full-batch gradient."""
@@ -83,8 +96,10 @@ def _train_pipeline(params, x, heat_t, paf_t, args, log):
     targets = ((jnp.asarray(heat_t),) if args.model_type == "hand"
                else (jnp.asarray(paf_t), jnp.asarray(heat_t)))
     for ep in range(args.epochs):
+        order = _epoch_order(n, b, getattr(args, 'seed', 0) + ep,
+                             log if ep == 0 else None)
         for i0 in range(0, n - b + 1, b):
-            sl = slice(i0, i0 + b)
+            sl = order[i0:i0 + b]
             loss, gseg = pipe.grads(jnp.asarray(x[sl]),
                                     tuple(t[sl] for t in targets))
             for s, (seg, g) in enumerate(zip(pipe.segments, gseg)):
@@ -119,8 +134,10 @@ def _train_flat(params, x, heat_t, paf_t, args, log):
     n = x.shape[0]
     b = min(args.batch, n)
     for ep in range(args.epochs):
+        order = _epoch_order(n, b, getattr(args, 'seed', 0) + ep,
+                             log if ep == 0 else None)
         for i0 in range(0, n - b + 1, b):
-            sl = slice(i0, i0 + b)
+            sl = order[i0:i0 + b]
             state, metrics = step(state, x[sl], heat_t[sl], paf_t[sl])
         log(f"epoch {ep} loss {float(metrics['loss']):.5f}"
             + (f" (mesh data={args.mesh_data})" if mesh else ""))

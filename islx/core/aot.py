@@ -62,12 +62,22 @@ def _params_sig(params) -> str:
     return hashlib.sha1(s.encode()).hexdigest()[:16]
 
 
-# fingerprint fields added after the first artifacts shipped: compared
-# leniently (an artifact that predates a field is accepted — every early
-# artifact was built at these fields' defaults) so existing caches stay
-# valid while NEW exports pin the full configuration
-_LENIENT = ("det_cfg", "hand_boxsize", "crop_chunk", "two_stage_peaks",
-            "fused_peaks", "thre2", "hand_stages")
+# Fingerprint fields added after the first artifacts shipped: an artifact
+# that predates a field is treated as built at that field's DOCUMENTED
+# default and the default is compared against the current pipeline's value
+# (never skipped — e.g. an old artifact exported under ISLX_HAND_STAGES=5
+# lacks "hand_stages" but was NOT built at 6 stages; skipping the check
+# would silently serve the wrong CPM depth, ADVICE r4). So old artifacts
+# only load when the pipeline actually sits at the default configuration.
+_LENIENT_DEFAULTS = {
+    "det_cfg": (0.33, 1.5, 0.9, 20, 2),   # dataclasses.astuple(DetectorConfig())
+    "hand_boxsize": 368,                  # HandConfig.boxsize
+    "crop_chunk": None,                   # BatchedHandPipeline default
+    "two_stage_peaks": True,              # BatchedBodyPipeline default
+    "fused_peaks": True,                  # follows two_stage_peaks
+    "thre2": 0.05,                        # PoseConfig.thre2
+    "hand_stages": 6,                     # HandConfig.stages
+}
 
 
 def _fingerprint(pipe) -> dict:
@@ -195,10 +205,17 @@ def load_fused(pipe, path: str):
         # serialized StableHLO is versioned by jax.export itself
         want.pop("jax", None)
         want.pop("device_kind", None)
-    mismatched = {k: (meta.get(k), v) for k, v in want.items()
-                  if not (k in _LENIENT and k not in meta)
-                  and meta.get(k) != (list(v) if isinstance(v, tuple) else v)
-                  and meta.get(k) != v}
+    def _norm(v):
+        # pickle round-trips tuples, JSON-ish paths lists: compare shape-blind
+        return [_norm(x) for x in v] if isinstance(v, (tuple, list)) else v
+
+    def _got(k):
+        if k in meta:
+            return meta[k]
+        return _LENIENT_DEFAULTS.get(k)   # pre-field artifact: its default
+
+    mismatched = {k: (_got(k), v) for k, v in want.items()
+                  if _norm(_got(k)) != _norm(v)}
     if mismatched:
         raise AotMismatch(f"{path}: artifact/env mismatch {mismatched}")
     n_dev = int(meta.get("num_devices", 1))

@@ -83,18 +83,27 @@ class HandConfig:
 
     @classmethod
     def gated(cls, weights_dir: str | None = None) -> tuple:
-        """(config, note): the production default, flipped to 160px crops
-        when a per-checkpoint accuracy gate recorded GO.
+        """(config, note): the production hand config resolved from EVERY
+        recorded per-checkpoint gate verdict (gates.json written by
+        tools/validate_checkpoints.py next to the evaluated weights —
+        PARITY.md #7):
 
-        tools/validate_checkpoints.py measures the keypoint drift of the
-        160px configs per checkpoint and writes the verdict to ``gates.json``
-        next to the evaluated weights (PARITY.md #7); every production
-        surface (bench.py flagship, the batched CLIs, serving, AOT export)
-        resolves its hand config through here so the flip is one recorded
-        decision, never a hardcode. Lookup order: explicit ``weights_dir``
-        (CLIs pass the directory holding --hand-weights) >
-        ``ISLX_WEIGHTS_DIR`` > ``<repo>/.synthetic_weights``. Explicit
-        ``ISLX_HAND_SCALE`` / ``ISLX_HAND_STAGES`` env always wins."""
+          hand_160_default GO         -> 160px crops (+hand_160_stages trim)
+          hand_184_default GO         -> 184px default (+hand_stages trim)
+          hand_184_default NO-GO      -> 368px fallback: the recorded verdict
+                                         says the default ITSELF fails the
+                                         accuracy bar, so staying on it would
+                                         ignore the gate (VERDICT r4 weak #1)
+          UNEVALUABLE                 -> 184px default, the note says the
+                                         instrument had no signal
+          no gates.json               -> 184px default, noted
+
+        Every production surface (bench.py flagship, the batched CLIs,
+        serving, AOT export) resolves its hand config through here so the
+        flip is one recorded decision, never a hardcode. Lookup order:
+        explicit ``weights_dir`` (CLIs pass the directory holding
+        --hand-weights) > ``ISLX_WEIGHTS_DIR`` > ``<repo>/.synthetic_weights``.
+        Explicit ``ISLX_HAND_SCALE`` / ``ISLX_HAND_STAGES`` env always wins."""
         import json
         import os
 
@@ -105,6 +114,7 @@ class HandConfig:
                 or os.path.join(os.path.dirname(os.path.dirname(
                     os.path.dirname(os.path.abspath(__file__)))),
                     ".synthetic_weights"))
+        name = os.path.basename(wdir) or wdir
         try:
             with open(os.path.join(wdir, "gates.json")) as f:
                 gates = json.load(f)
@@ -116,10 +126,22 @@ class HandConfig:
             stages = int(gates.get("hand_160_stages", 6))
             if stages < 6:
                 cfg = dataclasses.replace(cfg, stages=stages)
-            return cfg, (f"160px s{cfg.stages} (gate GO on "
-                         f"{os.path.basename(wdir) or wdir})")
+            return cfg, f"160px s{cfg.stages} (gate GO on {name})"
+        g184 = gates.get("hand_184_default")
+        if g184 == "NO-GO":
+            return (cls.production(scale=1.0),
+                    f"368px fallback (184px gate NO-GO on {name})")
+        if g184 == "UNEVALUABLE" or gates.get(
+                "hand_160_default") == "UNEVALUABLE":
+            return cfg, (f"184px (hand gate UNEVALUABLE on {name} — "
+                         "instrument had no signal)")
+        stages = int(gates.get("hand_stages", 6))
+        if g184 == "GO" and stages < 6:
+            cfg = dataclasses.replace(cfg, stages=stages)
+            return cfg, (f"184px s{stages} (184px gate GO on {name}, "
+                         f"160px gate {gates.get('hand_160_default')})")
         return cfg, (f"184px (160px gate {gates.get('hand_160_default')} on "
-                     f"{os.path.basename(wdir) or wdir})")
+                     f"{name})")
 
 
 @dataclasses.dataclass(frozen=True)

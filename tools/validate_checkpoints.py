@@ -77,12 +77,20 @@ def main(argv=None) -> int:
     p.add_argument("--images", default="/root/reference/images")
     p.add_argument("--crops-per-image", type=int, default=8)
     p.add_argument("--hand-gate-px", type=float, default=1.0,
-                   help="mean-L2 threshold for the 184px hand-crop GO")
+                   help="mean-L2 (or delta-vs-368, in GT mode) threshold "
+                        "for the hand-crop GOs")
+    p.add_argument("--signal-px", type=float, default=8.0,
+                   help="instrument sanity bar: when the single_368 "
+                        "BASELINE itself drifts past this, the instrument "
+                        "has no signal and hand verdicts are UNEVALUABLE "
+                        "instead of a meaningless NO-GO (VERDICT r4 weak "
+                        "#1/#2)")
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line at the end")
     args = p.parse_args(argv)
 
-    from tools.hand_scale_eval import evaluate, find_weights
+    from tools.hand_scale_eval import (CONFIG_KEYS, evaluate, evaluate_gt,
+                                       find_hand_gt, find_weights)
 
     wdir = os.environ.get("ISLX_WEIGHTS_DIR", "")
     body_w, hand_w = find_weights(wdir)
@@ -110,46 +118,88 @@ def main(argv=None) -> int:
     verdict["golden_parity"] = parity["verdict"]
     verdict["int8_default"] = int8["verdict"]
 
-    # 2. hand-pyramid scale evaluation
-    print("\n[2/2] hand scale eval (184px vs the 4-scale reference "
-          "pyramid)...")
+    # 2. hand scale evaluation. Two instruments:
+    #
+    #   GT mode (preferred; synthetic bundles ship scenes/hand_gt.json):
+    #   every config scored against the generator's ground-truth joints —
+    #   discriminative even on a scale-inconsistent checkpoint, because each
+    #   config's accuracy is measured independently. GO = the fast config's
+    #   mean-L2 DELTA vs the single_368 baseline stays under the gate and it
+    #   finds nearly as many joints.
+    #
+    #   Pyramid mode (real checkpoints, no GT): each single-scale config vs
+    #   the checkpoint's own 4-scale pyramid (the reference contract,
+    #   src/hand.py:25-56), absolute mean L2 under the gate.
+    #
+    #   Either way, when the single_368 BASELINE itself fails the sanity bar
+    #   the instrument has NO signal (round-4: baseline drifted 113.9px vs
+    #   its own pyramid, so every config failed identically) and the
+    #   verdicts are UNEVALUABLE — production then stays on the ungated
+    #   default and says so, rather than recording a meaningless NO-GO.
+    gt_path = find_hand_gt(wdir)
+    res = None
+    gate = args.hand_gate_px
     try:
-        res = evaluate(body_w, hand_w, args.images, args.crops_per_image)
+        if gt_path:
+            print(f"\n[2/2] hand scale eval (GROUND-TRUTH instrument: "
+                  f"{gt_path})...")
+            res = evaluate_gt(hand_w, gt_path)
+            verdict["hand_instrument"] = "gt"
+        else:
+            print("\n[2/2] hand scale eval (pyramid-consistency instrument"
+                  " — no GT sidecar)...")
+            res = evaluate(body_w, hand_w, args.images,
+                           args.crops_per_image)
+            verdict["hand_instrument"] = "pyramid"
     except RuntimeError as e:
         print(f"      could not evaluate: {e}")
         verdict["hand_184_default"] = "UNEVALUATED"
-        res = None
     if res is not None:
-        for k in ("single_368", "single_184", "s5_184", "s4_184",
-                  "single_160", "s5_160"):
+        base = res.get("single_368")
+        for k in ("ref_4scale",) + CONFIG_KEYS if gt_path else CONFIG_KEYS:
             s = res.get(k)
             line = ("NO matched keypoints (unusable)" if s is None else
                     f"mean L2 {s['mean']:.2f}px  p95 {s['p95']:.2f}px  "
-                    f"max {s['max']:.2f}px  (n={s['n']})")
+                    f"max {s['max']:.2f}px  (n={s['n']}"
+                    + (f", found {s['found']:.0%}" if s and "found" in s
+                       else "") + ")")
             print(f"      {k}: {line}")
-        s184 = res["single_184"]
-        verdict["hand_184_default"] = (
-            "GO" if s184 is not None and s184["mean"] < args.hand_gate_px
-            else "NO-GO")
+        signal = (base is not None and base["mean"] < args.signal_px
+                  and (base.get("found", 1.0) > 0.5))
+        if not signal:
+            why = ("baseline single_368 found nothing" if base is None else
+                   f"baseline single_368 mean "
+                   f"{base['mean']:.1f}px > {args.signal_px:g}px sanity bar")
+            print(f"      INSTRUMENT HAS NO SIGNAL: {why}")
+
+        def config_go(key: str) -> str:
+            if not signal:
+                return "UNEVALUABLE"
+            s = res.get(key)
+            if s is None:
+                return "NO-GO"
+            if gt_path:   # delta vs baseline + comparable joint coverage
+                ok = (s["mean"] - base["mean"] < gate
+                      and s["found"] >= base["found"] - 0.05)
+            else:         # absolute drift vs the checkpoint's own pyramid
+                ok = s["mean"] < gate
+            return "GO" if ok else "NO-GO"
+
+        verdict["hand_184_default"] = config_go("single_184")
         # 160px crops (scale 160/368): 2203 fps/chip on-device with all 6
         # stages (tools/tpu_validate.py trimspan) — gate like 184
-        s160 = res.get("single_160")
-        verdict["hand_160_default"] = (
-            "GO" if s160 is not None and s160["mean"] < args.hand_gate_px
-            else "NO-GO")
+        verdict["hand_160_default"] = config_go("single_160")
         # deepest stage trim that ALSO holds at 160px (s5@160 = 2308
         # fps/chip device span — BENCH_NOTES.md trimspan); gated on its own
         # measured drift, not inferred from the 184px trims
-        s = res.get("s5_160")
         verdict["hand_160_stages"] = (
-            5 if (verdict["hand_160_default"] == "GO" and s is not None
-                  and s["mean"] < args.hand_gate_px) else 6)
+            5 if (verdict["hand_160_default"] == "GO"
+                  and config_go("s5_160") == "GO") else 6)
         # deepest CPM stage trim whose drift stays under the gate
         # (HandConfig.stages / ISLX_HAND_STAGES — cpm.hand_forward)
         trim = 6
         for k, n in (("s5_184", 5), ("s4_184", 4)):
-            s = res.get(k)
-            if s is not None and s["mean"] < args.hand_gate_px:
+            if config_go(k) == "GO":
                 trim = n
             else:
                 break
@@ -161,10 +211,12 @@ def main(argv=None) -> int:
           f"{verdict['golden_parity']}"
           + ("   -> needs .pt/.pth checkpoints (npz is islx-only)"
              if verdict["golden_parity"] == "UNEVALUATED" else ""))
-    print(f"184px hand crops as production default : "
-          f"{verdict['hand_184_default']}"
-          + ("" if verdict["hand_184_default"] == "GO"
-             else "   -> export ISLX_HAND_SCALE=1.0"))
+    g184 = verdict["hand_184_default"]
+    print(f"184px hand crops as production default : {g184}"
+          + ("" if g184 == "GO" else
+             "   -> instrument had no signal; verdict withheld"
+             if g184 == "UNEVALUABLE" else
+             "   -> production falls back to 368 (HandConfig.gated)"))
     if "hand_160_default" in verdict:
         print(f"160px hand crops (2203 fps/chip span)  : "
               f"{verdict['hand_160_default']}"
