@@ -17,19 +17,25 @@ import glob
 import os
 
 
-def build_pose(args):
+def build_pose(args, calib_image=None):
     if not args.exact:
         from islx.core import weights as W
         from islx.pipeline.image import ImagePose
 
-        from islx.cli import gated_hand_cfg
+        from islx.cli import gated_hand_cfg, gated_int8_params
 
-        return ImagePose(
-            W.load(args.body_weights, args.model_type)
-            if args.body_weights else None,
-            W.load(args.hand_weights, "hand") if args.hand_weights else None,
-            args.model_type,
-            hand_cfg=gated_hand_cfg(args.hand_weights, log=print))
+        bp = (W.load(args.body_weights, args.model_type)
+              if args.body_weights else None)
+        hp = W.load(args.hand_weights, "hand") if args.hand_weights else None
+        hand_cfg = gated_hand_cfg(args.hand_weights, log=print)
+        if bp is not None and hp is not None and calib_image is not None:
+            # recorded int8 GO (gates.json) -> W8A8 trunks, calibrated on
+            # the demo image itself (cached per checkpoint)
+            bp, hp, _ = gated_int8_params(
+                bp, hp, model_type=args.model_type,
+                hand_weights=args.hand_weights, hand_cfg=hand_cfg,
+                calib_image=calib_image, log=print)
+        return ImagePose(bp, hp, args.model_type, hand_cfg=hand_cfg)
     from islx.isl.translator import ISLSignPos
     from islx.pose.body import Body
     from islx.pose.hand import Hand
@@ -72,7 +78,8 @@ def main(argv=None):
         print(f"cannot read {p}")
     if all(img is None for img in readable.values()):
         raise SystemExit(1)
-    pose = build_pose(args)
+    pose = build_pose(args, calib_image=next(
+        (img for img in readable.values() if img is not None), None))
     for path in paths:
         img = readable[path]
         if img is None:

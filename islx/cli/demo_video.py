@@ -75,11 +75,20 @@ def main(argv=None):
                                else W.load(args.hand_weights, "hand"))
                 # body + on-device hand boxes + hand CPM in one program:
                 # one upload, one fetch per batch
-                from islx.cli import gated_hand_cfg
+                from islx.cli import gated_hand_cfg, gated_int8_params
 
+                hand_cfg = gated_hand_cfg(args.hand_weights, log=print)
+                if args.body_weights and args.hand_weights:
+                    # recorded int8 GO (gates.json) -> W8A8 trunks,
+                    # calibrated on the head of this clip
+                    body_params, hand_params, _ = gated_int8_params(
+                        body_params, hand_params,
+                        model_type=args.model_type,
+                        hand_weights=args.hand_weights, hand_cfg=hand_cfg,
+                        calib_clip=args.video, log=print)
                 pipe = FusedPosePipeline(
                     body_params, hand_params, args.model_type, pose_cfg,
-                    hand_cfg=gated_hand_cfg(args.hand_weights, log=print))
+                    hand_cfg=hand_cfg)
             hb, wb = bucket_for(meta.height, meta.width)
             sy, sx = meta.height / hb, meta.width / wb
 

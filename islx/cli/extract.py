@@ -12,6 +12,23 @@ from __future__ import annotations
 import argparse
 
 
+def _first_video(csv_path: str, path_col: str):
+    """First existing video path in the CSV — the int8 activation-
+    calibration sample (gated_int8_params)."""
+    import os
+
+    import pandas as pd
+
+    try:
+        df = pd.read_csv(csv_path)
+    except OSError:
+        return None
+    for p in df.get(path_col, []):
+        if isinstance(p, str) and os.path.exists(p):
+            return p
+    return None
+
+
 def main(argv=None):
     from islx.isl.extract import ExtractConfig, extract_dataset
 
@@ -67,14 +84,23 @@ def main(argv=None):
             from islx.parallel.mesh import make_mesh
 
             mesh = make_mesh(n_data=args.mesh_data)
-        from islx.cli import gated_hand_cfg
+        from islx.cli import gated_hand_cfg, gated_int8_params
 
+        bp = (W.load(args.body_weights, "body25")
+              if args.body_weights else cpm.init_params("body25"))
+        hp = (W.load(args.hand_weights, "hand")
+              if args.hand_weights else cpm.init_params("hand"))
+        hand_cfg = gated_hand_cfg(args.hand_weights, log=print)
+        if args.body_weights and args.hand_weights:
+            # recorded int8 GO (gates.json next to the checkpoint) -> W8A8
+            # trunks, calibrated on the dataset's first readable video
+            bp, hp, _ = gated_int8_params(
+                bp, hp, hand_weights=args.hand_weights, hand_cfg=hand_cfg,
+                calib_clip=_first_video(args.csv, args.path_col),
+                log=print)
         pose = FusedPosePipeline(
-            W.load(args.body_weights, "body25")
-            if args.body_weights else cpm.init_params("body25"),
-            W.load(args.hand_weights, "hand")
-            if args.hand_weights else cpm.init_params("hand"),
-            hand_cfg=gated_hand_cfg(args.hand_weights, log=print),
+            bp, hp,
+            hand_cfg=hand_cfg,
             mesh=mesh)
         batch = args.batch
     if args.shard_index is None or args.num_shards is None:

@@ -56,6 +56,24 @@ def main(argv=None):
         mesh = make_mesh(n_data=args.mesh_data)
     from islx.cli import gated_hand_cfg
 
+    # recorded int8 GO (gates.json next to the checkpoint) -> default to
+    # live-traffic int8 calibration (the serving-native quantization route:
+    # calibrate on the first N served frames, background-swap W8A8 trunks).
+    # An explicit --int8-after always wins; ISLX_INT8=0 forces bf16.
+    if args.int8_after is None and args.hand_weights:
+        import os
+
+        from islx.core.config import int8_gated
+
+        go, note = int8_gated(
+            os.path.dirname(os.path.abspath(args.hand_weights)))
+        if go:
+            args.int8_after = 256
+            print(f"int8: {note} -> --int8-after 256 (live-traffic "
+                  "calibration + warm swap)")
+        else:
+            print(f"int8: {note}")
+
     pipe = FusedPosePipeline(
         W.load(args.body_weights, args.model_type)
         if args.body_weights else cpm.init_params(args.model_type),

@@ -92,17 +92,25 @@ def main(argv=None):
             from islx.parallel.mesh import make_mesh
 
             mesh = make_mesh(n_data=args.mesh_data)
-        from islx.cli import gated_hand_cfg
+        from islx.cli import gated_hand_cfg, gated_int8_params
 
+        bp = (body_params if body_params is not None
+              else (W.load(args.body_weights, "body25")
+                    if args.body_weights else None))
+        hp = (hand_params if hand_params is not None
+              else (W.load(args.hand_weights, "hand")
+                    if args.hand_weights else None))
+        hand_cfg = gated_hand_cfg(args.hand_weights, log=print)
+        if bp is not None and hp is not None:
+            # recorded int8 GO (gates.json) -> W8A8 trunks, calibrated on
+            # the head of this very clip (cached per checkpoint)
+            bp, hp, _ = gated_int8_params(
+                bp, hp, hand_weights=args.hand_weights, hand_cfg=hand_cfg,
+                calib_clip=args.video, log=print)
         pipe = BatchedTranslatePipeline(
-            body_params=(body_params if body_params is not None
-                         else (W.load(args.body_weights, "body25")
-                               if args.body_weights else None)),
-            hand_params=(hand_params if hand_params is not None
-                         else (W.load(args.hand_weights, "hand")
-                               if args.hand_weights else None)),
+            body_params=bp, hand_params=hp,
             head_params=head_params,
-            hand_cfg=gated_hand_cfg(args.hand_weights, log=print),
+            hand_cfg=hand_cfg,
             batch=args.batch,
             mesh=mesh)
         for idx, cid, expr, prob in pipe.translate_video(args.video):

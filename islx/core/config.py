@@ -36,6 +36,50 @@ class PoseConfig:
         return 52 if self.model_type == "body25" else 38
 
 
+def resolve_gates(weights_dir: str | None = None) -> tuple:
+    """-> (gates dict | None, bundle name): the per-checkpoint accuracy
+    verdicts recorded by tools/validate_checkpoints.py (gates.json next to
+    the evaluated weights). Shared lookup order for every gated production
+    decision: explicit ``weights_dir`` > ``ISLX_WEIGHTS_DIR`` >
+    ``<repo>/.synthetic_weights``."""
+    import json
+    import os
+
+    wdir = (weights_dir or os.environ.get("ISLX_WEIGHTS_DIR")
+            or os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+                ".synthetic_weights"))
+    name = os.path.basename(wdir) or wdir
+    try:
+        with open(os.path.join(wdir, "gates.json")) as f:
+            return json.load(f), name
+    except (OSError, ValueError):
+        return None, name
+
+
+def int8_gated(weights_dir: str | None = None) -> tuple:
+    """(go, note): should production run int8 (W8A8) trunks for the
+    checkpoint in ``weights_dir``? True iff the recorded per-checkpoint
+    verdict is ``int8_default: GO`` (tools/validate_checkpoints.py — the
+    int8-vs-float golden test passed on those weights; the reference has no
+    quantization at all, src/body.py:58-65 runs f32). ``ISLX_INT8`` env
+    always wins: 1 forces int8, 0 forces bf16."""
+    import os
+
+    env = os.environ.get("ISLX_INT8")
+    if env is not None:
+        on = env not in ("0", "")
+        return on, f"env override (ISLX_INT8={env})"
+    gates, name = resolve_gates(weights_dir)
+    if gates is None:
+        return False, ("bf16 (no gates.json — run "
+                       "tools/validate_checkpoints.py)")
+    v = gates.get("int8_default")
+    if v == "GO":
+        return True, f"int8 W8A8 trunks (gate GO on {name})"
+    return False, f"bf16 (int8 gate {v} on {name})"
+
+
 @dataclasses.dataclass(frozen=True)
 class HandConfig:
     """Hand pose estimation config (reference: src/hand.py:24-33)."""
@@ -104,21 +148,13 @@ class HandConfig:
         explicit ``weights_dir`` (CLIs pass the directory holding
         --hand-weights) > ``ISLX_WEIGHTS_DIR`` > ``<repo>/.synthetic_weights``.
         Explicit ``ISLX_HAND_SCALE`` / ``ISLX_HAND_STAGES`` env always wins."""
-        import json
         import os
 
         cfg = cls.production()
         if "ISLX_HAND_SCALE" in os.environ or "ISLX_HAND_STAGES" in os.environ:
             return cfg, "env override"
-        wdir = (weights_dir or os.environ.get("ISLX_WEIGHTS_DIR")
-                or os.path.join(os.path.dirname(os.path.dirname(
-                    os.path.dirname(os.path.abspath(__file__)))),
-                    ".synthetic_weights"))
-        name = os.path.basename(wdir) or wdir
-        try:
-            with open(os.path.join(wdir, "gates.json")) as f:
-                gates = json.load(f)
-        except (OSError, ValueError):
+        gates, name = resolve_gates(weights_dir)
+        if gates is None:
             return cfg, ("184px default (no gates.json — run "
                          "tools/validate_checkpoints.py)")
         if gates.get("hand_160_default") == "GO":

@@ -70,6 +70,18 @@ class BatchedTranslatePipeline:
                             else T.init_params(cfg))
         self._head = jax.jit(lambda p, x: T.forward(p, x))
         self._window: List[np.ndarray] = []
+        # optional host-side stage accounting (tools/translate_bench.py
+        # --prof): dict of stage -> accumulated seconds. The split answers
+        # "where does the config-5 gap go" (VERDICT r4 #4): upload/dispatch
+        # vs blocking fetch+grouping vs featurization vs head.
+        self.prof: Optional[dict] = None
+
+    def _tick(self, key: str, t0: float) -> None:
+        if self.prof is not None:
+            import time
+
+            self.prof[key] = (self.prof.get(key, 0.0)
+                              + (time.perf_counter() - t0))
 
     def reset(self) -> None:
         self._window.clear()
@@ -79,19 +91,27 @@ class BatchedTranslatePipeline:
     def dispatch_batch(self, frames_bucketed: np.ndarray,
                        orig_hw: Tuple[int, int]):
         """Async: upload + dispatch the fused program, return handles."""
+        import time
+
+        t0 = time.perf_counter()
         b, hb, wb = frames_bucketed.shape[:3]
         flat = self.pipe.upload_frames(frames_bucketed)
         packed = self.pipe.device_step_flat(flat, b, hb, wb, orig_hw,
                                             self.thre1)
+        self._tick("dispatch", t0)
         return packed, (b, hb, wb)
 
     def finish_batch(self, handles, orig_hw: Tuple[int, int]
                      ) -> List[np.ndarray]:
         """Consume a dispatched batch: one fetch -> grouping + features."""
+        import time
+
         packed, (b, hb, wb) = handles
         h0, w0 = orig_hw
         sy, sx = h0 / hb, w0 / wb
+        t0 = time.perf_counter()
         results, boxes, peaks = self.pipe.assemble(packed, b)
+        self._tick("fetch_group", t0)
         return self._features(results, boxes, peaks, sy, sx)
 
     def process_batch(self, frames_bucketed: np.ndarray,
@@ -102,6 +122,9 @@ class BatchedTranslatePipeline:
                                                      orig_hw), orig_hw)
 
     def _features(self, results, boxes, peaks, sy, sx) -> List[np.ndarray]:
+        import time
+
+        t0 = time.perf_counter()
         feats = []
         for fidx, (cand, subset) in enumerate(results):
             if cand.shape[0]:
@@ -111,6 +134,7 @@ class BatchedTranslatePipeline:
             hands = self.pipe.hands_for_frame(boxes, peaks, fidx, sy, sx)
             feats.append(F.frame_features(cand, subset, hands,
                                           self.model_type))
+        self._tick("featurize", t0)
         return feats
 
     # ------------------------------------------------------------------
@@ -131,8 +155,12 @@ class BatchedTranslatePipeline:
                     windows.append(np.stack(self._window))
                     widx.append(state["idx0"] + i)
             if windows:
+                import time
+
+                t0 = time.perf_counter()
                 x = jnp.asarray(np.stack(windows), jnp.float32)
                 probs = np.asarray(self._head(self.head_params, x))
+                self._tick("head", t0)
                 for w, pr in zip(widx, probs):
                     cid = int(np.argmax(pr))
                     out.append((w, cid, EXPRESSIONS[cid], float(pr[cid])))
@@ -236,16 +264,22 @@ class BatchedTranslatePipeline:
         hb, wb = bucket_hw
         sy, sx = orig_hw[0] / hb, orig_hw[1] / wb
 
+        import time
+
         def finish(packed, n_valid):
+            t0 = time.perf_counter()
             results, boxes, peaks = self.pipe.assemble(
                 np.asarray(packed), self.batch)
+            self._tick("fetch_group", t0)
             emit(self._features(results, boxes, peaks, sy, sx)[:n_valid])
 
         for flat, n_valid in Prefetcher(
                 flat_batches(iter(flat_frames), self.batch), depth=2):
+            t0 = time.perf_counter()
             packed = self.pipe.device_step_flat(
                 jnp.asarray(flat), self.batch, hb, wb, orig_hw,
                 self.thre1, input_format="yuv420")
+            self._tick("dispatch", t0)
             if pending is not None:
                 finish(*pending)
             pending = (packed, n_valid)

@@ -150,7 +150,7 @@ def test_batched_hand_multiscale_averaging(rng):
     s0 = 46  # tiny crop bucket; scales 0.5/1.0 -> inputs 184, 368
     peak_by_size = {184: (5, 7), 368: (30, 20)}  # (y8, x8) per scale
 
-    def hand_fwd(params, x, compute_dtype=None):
+    def hand_fwd(params, x, compute_dtype=None, stages=6):
         b, size = x.shape[0], x.shape[1]
         hh = size // 8
         m = np.zeros((hh, hh, 22), np.float32)
@@ -192,7 +192,7 @@ def test_batched_hand_cc_matches_parity_api(rng):
 
     s0 = 46
 
-    def hand_fwd(params, x, compute_dtype=None):
+    def hand_fwd(params, x, compute_dtype=None, stages=6):
         b, hh = x.shape[0], x.shape[1] // 8
         m = np.zeros((hh, hh, 22), np.float32)
         q = hh // 4

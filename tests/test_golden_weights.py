@@ -165,6 +165,38 @@ def test_full_demo_pipeline_golden():
         assert float(d.mean()) < 1.0
 
 
+_SCENE = (os.path.join(WEIGHTS_DIR, "scenes", "scene_0.jpg")
+          if WEIGHTS_DIR else "")
+
+
+@requires_weights
+@requires_ref_loadable
+@pytest.mark.skipif(BODY25 is None or not os.path.exists(_SCENE),
+                    reason="needs a checkpoint bundle shipping rendered "
+                           "scenes/ (tools/make_synthetic_weights.py)")
+def test_body25_scene_golden_strict():
+    """STRICT set-membership golden without real checkpoints (VERDICT r4
+    #6): on an IN-DISTRIBUTION rendered scene the synthetic net produces
+    confident peaks, so the demo.jpg relaxation (borderline-blob membership
+    flips between torch and XLA) does not apply — islx vs the reference's
+    own torch code must agree on >=0.95 of the peak set AND localize
+    matched peaks within 1px. A peak-selection regression that drops
+    borderline peaks fails HERE even while the relaxed demo.jpg gate still
+    passes."""
+    import cv2
+
+    from islx.pose.body import Body
+
+    ori = cv2.imread(_SCENE)
+    assert ori is not None
+    cand_ref, subset_ref = _reference_body(BODY25, "body25", ori)
+    cand, subset = Body(BODY25, "body25")(ori)
+    assert len(cand_ref) > 0, "bundle scene yields no reference peaks"
+    rate, mean_l2 = _match_stats(cand, cand_ref)
+    assert rate >= 0.95, rate       # strict set membership
+    assert mean_l2 < 1.0, mean_l2   # BASELINE.md north star
+
+
 @requires_weights
 @pytest.mark.skipif(BODY25 is None, reason="body25 checkpoint not found")
 def test_int8_quantized_accuracy_golden():

@@ -38,6 +38,11 @@ def test_batcher_batches_concurrent_requests(pipe):
         assert stats["requests"] == 4
         # all four arrived within one wait window -> shared device steps
         assert stats["batches"] <= 2
+        # per-REQUEST latency percentiles (submit -> result; /healthz
+        # surfaces these — VERDICT r4 #5)
+        assert stats["latency_window_n"] == 4
+        assert 0.0 < stats["latency_ms_p50_request"] <= \
+            stats["latency_ms_p99_request"]
     finally:
         b.close()
 

@@ -34,7 +34,7 @@ def stubbed_pipeline(rng, monkeypatch):
         return (jnp.broadcast_to(jnp.asarray(paf), (b,) + paf.shape),
                 jnp.broadcast_to(jnp.asarray(heat), (b,) + heat.shape))
 
-    def hand_fwd(params, x, compute_dtype=None):
+    def hand_fwd(params, x, compute_dtype=None, stages=6):
         b = x.shape[0]
         hh, wh = x.shape[1] // 8, x.shape[2] // 8
         m = jnp.asarray(hand_heat[:hh, :wh])
@@ -79,7 +79,7 @@ def test_image_pose(rng, monkeypatch):
         return (jnp.broadcast_to(jnp.asarray(paf), (b,) + paf.shape),
                 jnp.broadcast_to(jnp.asarray(heat), (b,) + heat.shape))
 
-    def hand_fwd(params, x, compute_dtype=None):
+    def hand_fwd(params, x, compute_dtype=None, stages=6):
         b, hh, wh = x.shape[0], x.shape[1] // 8, x.shape[2] // 8
         m = np.zeros((hh, wh, 22), np.float32)
         m[hh // 2, wh // 2, :21] = 0.9

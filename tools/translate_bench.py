@@ -82,19 +82,55 @@ def main():
     tp.thre1 = t1
     print(f"[tb] thre1 calibrated to {t1}", file=sys.stderr, flush=True)
 
-    # warm-up (head compile + ambient throwaway)
-    tp.translate_frames(iter(frames[: 2 * B]))
+    # ISLX_TB_YUV=1: measure the PRODUCTION ingest (translate_video auto-
+    # selects I420 when ffmpeg exists): bucketed flat I420 buffers uploaded
+    # at 1.5 bytes/px with BT.601->BGR on device. The pre-conversion below
+    # stands in for ffmpeg's native I420 output (not a timed cost).
+    use_yuv = os.environ.get("ISLX_TB_YUV", "0") == "1"
+    if use_yuv:
+        from islx.ops import yuv
 
+        bucketed = np.stack([cv2.resize(f, (wb, hb),
+                                        interpolation=cv2.INTER_CUBIC)
+                             for f in frames])
+        flat_all = yuv.bgr_to_yuv420_host(bucketed)
+        step = yuv.frame_bytes(hb, wb)
+        flat_frames = [flat_all[i * step:(i + 1) * step] for i in range(N)]
+
+        def run(fs):
+            return tp.translate_yuv_frames(iter(fs), (h0, w0), (hb, wb))
+
+        clip = flat_frames
+    else:
+        def run(fs):
+            return tp.translate_frames(iter(fs))
+
+        clip = frames
+
+    # warm-up (head compile + ambient throwaway)
+    run(clip[: 2 * B])
+
+    prof = os.environ.get("ISLX_TB_PROF", "0") == "1"
     fps_reps = []
     n_preds = 0
+    stage_split = None
     for r in range(reps):
+        if prof:
+            tp.prof = {}
         t0 = time.perf_counter()
-        preds = tp.translate_frames(iter(frames))
+        preds = run(clip)
         dt = time.perf_counter() - t0
         fps_reps.append(N / dt)
         n_preds = len(preds)
         print(f"[tb] rep {r}: {fps_reps[-1]:.1f} frames/s "
               f"({n_preds} predictions)", file=sys.stderr, flush=True)
+        if prof:
+            acc = sum(tp.prof.values())
+            stage_split = {k: round(v, 3) for k, v in tp.prof.items()}
+            stage_split["other_host"] = round(dt - acc, 3)
+            stage_split["wall"] = round(dt, 3)
+            print(f"[tb] stage split (s): {stage_split}", file=sys.stderr,
+                  flush=True)
 
     fps = float(np.median(fps_reps))
     print(json.dumps({
@@ -105,6 +141,8 @@ def main():
                   "-> 20-frame windows -> BiLSTM -> expression)",
         "batch": B, "frames": N, "predictions_per_run": n_preds,
         "reps": [round(x, 2) for x in fps_reps],
+        "ingest": "yuv420" if use_yuv else "bgr",
+        **({"stage_split_s": stage_split} if stage_split else {}),
         "platform": jax.devices()[0].platform,
     }))
 

@@ -107,7 +107,7 @@ def main(argv=None) -> int:
     # int8-vs-float golden gate DIFFERENT decisions, so they are judged
     # independently (npz-only checkpoints skip the former, not the latter)
     print("\n[1/2] golden parity suite (tests/test_golden_weights.py)...")
-    parity = run_golden_suite("demo_golden or full_demo")
+    parity = run_golden_suite("demo_golden or full_demo or scene_golden")
     print("      ref parity: " + parity["summary"])
     if parity["verdict"] == "NO-GO":
         print(parity["output"])
