@@ -469,6 +469,25 @@ def hand_forward(params: Params, x: jax.Array,
     return out
 
 
+def hand_forward_stages(params: Params, x: jax.Array,
+                        compute_dtype=jnp.float32) -> list:
+    """All six stage head outputs [B,H/8,W/8,22] (training only).
+
+    The reference CPM family trains with INTERMEDIATE supervision — every
+    stage's head is driven toward the target, which is also what makes the
+    stage-trim knob (``hand_forward(..., stages=N)``) consume a trained
+    head. Inference uses :func:`hand_forward` (final stage only,
+    src/model.py:407)."""
+    trunk = _seq(x, _HAND["trunk"], params, compute_dtype)
+    out = _seq(trunk, _HAND["stage1"], params, compute_dtype)
+    outs = [out]
+    for i in range(2, 7):
+        x2 = jnp.concatenate([out, trunk], axis=-1)
+        out = _seq(x2, _HAND["stages"][f"stage{i}"], params, compute_dtype)
+        outs.append(out)
+    return outs
+
+
 FORWARDS = {
     "body25": body25_forward,
     "coco": coco_forward,

@@ -33,31 +33,67 @@ def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
     return optax.adam(lr)
 
 
+def _weighted_heat_mse(heat: jax.Array, heat_t: jax.Array,
+                       pos_weight: float) -> jax.Array:
+    """MSE with joint cells upweighted by ``1 + pos_weight * target``.
+
+    Gaussian joint targets are SPARSE (a few hot cells per /8 grid of
+    hundreds), so uniform MSE lets the all-zeros prediction reach a tiny
+    loss without ever localizing — the round-5 diagnosis of the synthetic
+    hand bundle (raw demo response max 0.0575, argmax uncorrelated with
+    GT). The weight applies to the joint channels only; the background
+    channel (last, ~1 in empty cells) keeps weight 1, otherwise it would
+    dominate even harder. pos_weight=0 is the plain MSE."""
+    if pos_weight == 0.0:
+        return jnp.mean((heat - heat_t) ** 2)
+    w = 1.0 + pos_weight * heat_t.at[..., -1].set(0.0)
+    return jnp.mean(w * (heat - heat_t) ** 2)
+
+
 def loss_fn(params: cpm.Params, x: jax.Array, heat_t: jax.Array,
             paf_t: jax.Array, model_type: str,
-            compute_dtype=jnp.bfloat16) -> Tuple[jax.Array, Dict]:
-    """x [B,H,W,3] normalized; targets at net resolution [B,H/8,W/8,C]."""
+            compute_dtype=jnp.bfloat16, pos_weight: float = 0.0,
+            deep_supervision: bool = False) -> Tuple[jax.Array, Dict]:
+    """x [B,H,W,3] normalized; targets at net resolution [B,H/8,W/8,C].
+
+    deep_supervision (hand only): drive EVERY CPM stage head toward the
+    target (the reference-family training recipe) — required for the
+    stage-trim knob to consume a trained intermediate head, and it fixes
+    gradient flow through the 6-stage refinement chain."""
     if model_type == "hand":
-        heat = cpm.hand_forward(params, x, compute_dtype)
-        heat_loss = jnp.mean((heat - heat_t) ** 2)
+        if deep_supervision:
+            outs = cpm.hand_forward_stages(params, x, compute_dtype)
+            heat_loss = sum(_weighted_heat_mse(h, heat_t, pos_weight)
+                            for h in outs) / len(outs)
+        else:
+            heat = cpm.hand_forward(params, x, compute_dtype)
+            heat_loss = _weighted_heat_mse(heat, heat_t, pos_weight)
         return heat_loss, {"loss": heat_loss, "heat_loss": heat_loss}
     paf, heat = cpm.FORWARDS[model_type](params, x, compute_dtype)
-    heat_loss = jnp.mean((heat - heat_t) ** 2)
-    paf_loss = jnp.mean((paf - paf_t) ** 2)
+    heat_loss = _weighted_heat_mse(heat, heat_t, pos_weight)
+    if pos_weight == 0.0:
+        paf_loss = jnp.mean((paf - paf_t) ** 2)
+    else:   # PAF targets are sparse along limbs; weight by magnitude
+        wp = 1.0 + pos_weight * jnp.abs(paf_t)
+        paf_loss = jnp.mean(wp * (paf - paf_t) ** 2)
     loss = heat_loss + paf_loss
     return loss, {"loss": loss, "heat_loss": heat_loss, "paf_loss": paf_loss}
 
 
 def make_train_step(optimizer: optax.GradientTransformation,
                     model_type: str = "body25", mesh=None,
-                    compute_dtype=jnp.bfloat16):
+                    compute_dtype=jnp.bfloat16, pos_weight: float = 0.0,
+                    deep_supervision: bool = False):
     """step(state, x, heat_t, paf_t) -> (state, metrics); dp-sharded with a
-    mesh (params replicated, batch along the data axis)."""
+    mesh (params replicated, batch along the data axis). pos_weight
+    upweights sparse positive target cells (see _weighted_heat_mse);
+    deep_supervision drives every hand-CPM stage head (loss_fn)."""
 
     def step(state: PoseTrainState, x, heat_t, paf_t):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, x, heat_t, paf_t,
-                                      model_type, compute_dtype)
+                                      model_type, compute_dtype, pos_weight,
+                                      deep_supervision)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,

@@ -40,6 +40,10 @@ def test_validate_checkpoints_every_gate_evaluates(capsys, monkeypatch):
     assert rc == 0
     assert verdict["golden_parity"] == "GO"
     assert verdict["int8_default"] in ("GO", "NO-GO")
+    # the bundle ships scenes/hand_gt.json -> the DISCRIMINATIVE ground-
+    # truth instrument must be selected (VERDICT r4 #1), and with signal
+    # flowing the hand verdicts must be real decisions, never UNEVALUABLE
+    assert verdict["hand_instrument"] == "gt"
     assert verdict["hand_184_default"] in ("GO", "NO-GO")
     assert verdict["hand_160_default"] in ("GO", "NO-GO")
     assert verdict["hand_stages"] in (4, 5, 6)

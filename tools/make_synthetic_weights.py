@@ -243,9 +243,14 @@ def train_body(steps: int, batch: int, size: int, seed: int, log=print):
 # Hand training resolutions: (input px, batch multiplier, schedule weight).
 # The production eval pyramid runs the net at 160/184/368px inputs
 # (HandConfig.scale_search), so every one of those must be in-distribution;
-# batch shrinks with size to bound per-step CPU cost.
-HAND_SIZES = ((96, 1.0, 3), (144, 1.0, 3), (184, 0.5, 4),
-              (256, 0.5, 2), (368, 0.25, 1))
+# batch shrinks with size to bound per-step CPU cost. The schedule weights
+# favor the DECISION sizes (184/256/368): the round-5 instrument showed a
+# 368 leg trained at 1/13 weight reading 33px mean vs GT (p95 148 — gross
+# misdetections on large hands) while 184/160 read ~18px; the single_368
+# BASELINE must pass the 8px signal bar for the hand gate to be evaluable
+# (tools/validate_checkpoints.py --signal-px).
+HAND_SIZES = ((96, 1.0, 1), (144, 1.0, 1), (184, 0.5, 4),
+              (256, 0.5, 3), (368, 0.5, 4))
 
 
 def _interleave_schedule(steps: int, entries):
@@ -283,7 +288,18 @@ def train_hand(steps: int, batch: int, size: int, seed: int, log=print):
     bgs = _load_bgs()
     state, opt = PT.init_state("hand", PT.make_optimizer(2e-4),
                                jax.random.PRNGKey(seed + 1))
-    step_fn = PT.make_train_step(opt, "hand", compute_dtype=jnp.float32)
+    # pos_weight: gaussian joint targets are SPARSE (~3 hot cells of a
+    # 46x46 /8 grid at 368px), so uniform MSE converges to the all-zeros
+    # prediction (round-5 diagnosis: raw demo response max 0.0575, argmax
+    # uncorrelated with the rendered GT) — upweight positive cells so the
+    # net actually localizes. sigma scales with resolution so the blob
+    # spans ~the same number of /8 cells at every training size.
+    # deep supervision: every stage head trained (the reference-family CPM
+    # recipe) — gradient flow through the 6-stage chain AND a trained
+    # stage-5 head so the s5 trim configs measure a real trade-off instead
+    # of an untrained head (round-5: s5 read +100px before this)
+    step_fn = PT.make_train_step(opt, "hand", compute_dtype=jnp.float32,
+                                 pos_weight=30.0, deep_supervision=True)
     t0 = time.time()
     loss = float("nan")
     for it, (sz, bmul, _) in enumerate(_interleave_schedule(steps,
@@ -294,7 +310,7 @@ def train_hand(steps: int, batch: int, size: int, seed: int, log=print):
         for _ in range(b):
             img, kp, vis = render_hand(rng, sz, bgs)
             heat = PT.gaussian_heatmap_targets(kp[None], vis[None], h8, w8,
-                                               sigma=4.0)[0]
+                                               sigma=max(4.0, sz / 32.0))[0]
             xs.append(img.astype(np.float32) / 256.0 - 0.5)
             hs.append(heat)
         state, metrics = step_fn(state, jnp.asarray(np.stack(xs)),
@@ -443,7 +459,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--out", default=".synthetic_weights")
     ap.add_argument("--steps-body", type=int, default=400)
-    ap.add_argument("--steps-hand", type=int, default=300)
+    ap.add_argument("--steps-hand", type=int, default=600)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--seed", type=int, default=0)

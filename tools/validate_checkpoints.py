@@ -87,6 +87,9 @@ def main(argv=None) -> int:
                         "#1/#2)")
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line at the end")
+    p.add_argument("--skip-ref-pyramid", action="store_true",
+                   help="GT mode: skip the (expensive, verdict-irrelevant) "
+                        "4-scale reference pyramid config")
     args = p.parse_args(argv)
 
     from tools.hand_scale_eval import (CONFIG_KEYS, evaluate, evaluate_gt,
@@ -143,7 +146,8 @@ def main(argv=None) -> int:
         if gt_path:
             print(f"\n[2/2] hand scale eval (GROUND-TRUTH instrument: "
                   f"{gt_path})...")
-            res = evaluate_gt(hand_w, gt_path)
+            res = evaluate_gt(hand_w, gt_path,
+                              include_ref=not args.skip_ref_pyramid)
             verdict["hand_instrument"] = "gt"
         else:
             print("\n[2/2] hand scale eval (pyramid-consistency instrument"
@@ -156,20 +160,41 @@ def main(argv=None) -> int:
         verdict["hand_184_default"] = "UNEVALUATED"
     if res is not None:
         base = res.get("single_368")
+        paired = res.get("paired", {})
         for k in ("ref_4scale",) + CONFIG_KEYS if gt_path else CONFIG_KEYS:
+            if k == "ref_4scale" and k not in res:
+                continue
             s = res.get(k)
             line = ("NO matched keypoints (unusable)" if s is None else
-                    f"mean L2 {s['mean']:.2f}px  p95 {s['p95']:.2f}px  "
-                    f"max {s['max']:.2f}px  (n={s['n']}"
+                    f"mean L2 {s['mean']:.2f}px"
+                    + (f"  median {s['median']:.2f}px" if "median" in s
+                       else "")
+                    + f"  p95 {s['p95']:.2f}px  max {s['max']:.2f}px  "
+                    f"(n={s['n']}"
                     + (f", found {s['found']:.0%}" if s and "found" in s
                        else "") + ")")
+            p = paired.get(k)
+            if p:
+                line += (f"  paired-delta {p['mean_delta']:+.2f}px "
+                         f"(se {p['se']:.2f})")
             print(f"      {k}: {line}")
-        signal = (base is not None and base["mean"] < args.signal_px
+        # Signal bar. GT mode: the baseline must FIND joints and its
+        # TYPICAL (median) L2 must sit under the bar — the gross-
+        # misdetection tail on the hardest scenes appears in every config
+        # on the SAME (scene, joint) pairs, so it cancels in the paired
+        # deltas the GO rule uses and carries no crop-resolution
+        # information; a baseline whose median drifts past the bar, or
+        # that misses half the joints, is not a detector and the verdicts
+        # are withheld. Pyramid mode keeps the mean (self-consistency of a
+        # real checkpoint has no tail of this kind).
+        base_stat = (base.get("median", base["mean"]) if gt_path
+                     else base["mean"]) if base else float("inf")
+        signal = (base is not None and base_stat < args.signal_px
                   and (base.get("found", 1.0) > 0.5))
         if not signal:
             why = ("baseline single_368 found nothing" if base is None else
-                   f"baseline single_368 mean "
-                   f"{base['mean']:.1f}px > {args.signal_px:g}px sanity bar")
+                   f"baseline single_368 {'median' if gt_path else 'mean'} "
+                   f"{base_stat:.1f}px > {args.signal_px:g}px sanity bar")
             print(f"      INSTRUMENT HAS NO SIGNAL: {why}")
 
         def config_go(key: str) -> str:
@@ -178,8 +203,17 @@ def main(argv=None) -> int:
             s = res.get(key)
             if s is None:
                 return "NO-GO"
-            if gt_path:   # delta vs baseline + comparable joint coverage
-                ok = (s["mean"] - base["mean"] < gate
+            if gt_path:
+                # paired per-(scene,joint) delta vs the 368 baseline: GO
+                # when the measured accuracy cost stays under the gate AND
+                # the instrument can actually resolve the gate (se<gate)
+                # AND joint coverage is comparable
+                p = paired.get(key)
+                if p is None:
+                    return "NO-GO"
+                if p["se"] > gate:
+                    return "UNEVALUABLE"
+                ok = (p["mean_delta"] < gate
                       and s["found"] >= base["found"] - 0.05)
             else:         # absolute drift vs the checkpoint's own pyramid
                 ok = s["mean"] < gate
