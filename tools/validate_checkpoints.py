@@ -80,16 +80,28 @@ def main(argv=None) -> int:
                    help="mean-L2 (or delta-vs-368, in GT mode) threshold "
                         "for the hand-crop GOs")
     p.add_argument("--signal-px", type=float, default=8.0,
-                   help="instrument sanity bar: when the single_368 "
-                        "BASELINE itself drifts past this, the instrument "
-                        "has no signal and hand verdicts are UNEVALUABLE "
-                        "instead of a meaningless NO-GO (VERDICT r4 weak "
-                        "#1/#2)")
+                   help="PYRAMID-mode sanity bar: when the single_368 "
+                        "baseline drifts past this vs the checkpoint's own "
+                        "4-scale pyramid, the instrument has no signal and "
+                        "hand verdicts are UNEVALUABLE instead of a "
+                        "meaningless NO-GO (VERDICT r4 weak #1/#2)")
+    p.add_argument("--gt-detector-px", type=float, default=24.0,
+                   help="GT-mode detector bound: the baseline's MEDIAN GT "
+                        "L2 must sit under this (3 net strides) for it to "
+                        "count as a localizing detector. GT-mode gate "
+                        "RESOLUTION is certified separately by the paired-"
+                        "delta standard error (se < gate), which is what "
+                        "bounds a 1px decision — absolute baseline bias is "
+                        "paired out of the deltas.")
     p.add_argument("--json", action="store_true",
                    help="emit one machine-readable JSON line at the end")
     p.add_argument("--skip-ref-pyramid", action="store_true",
                    help="GT mode: skip the (expensive, verdict-irrelevant) "
                         "4-scale reference pyramid config")
+    p.add_argument("--reuse-eval", metavar="GATES_JSON", default=None,
+                   help="re-issue verdicts from the hand_scale_eval stats "
+                        "recorded in an existing gates.json (e.g. after a "
+                        "gate-rule change) instead of re-measuring")
     args = p.parse_args(argv)
 
     from tools.hand_scale_eval import (CONFIG_KEYS, evaluate, evaluate_gt,
@@ -143,7 +155,16 @@ def main(argv=None) -> int:
     res = None
     gate = args.hand_gate_px
     try:
-        if gt_path:
+        if args.reuse_eval:
+            with open(args.reuse_eval) as f:
+                prev = json.load(f)
+            res = prev["hand_scale_eval"]
+            verdict["hand_instrument"] = prev.get("hand_instrument",
+                                                  "gt" if gt_path else
+                                                  "pyramid")
+            gt_path = gt_path if verdict["hand_instrument"] == "gt" else None
+            print(f"\n[2/2] hand scale eval REUSED from {args.reuse_eval}")
+        elif gt_path:
             print(f"\n[2/2] hand scale eval (GROUND-TRUTH instrument: "
                   f"{gt_path})...")
             res = evaluate_gt(hand_w, gt_path,
@@ -189,12 +210,14 @@ def main(argv=None) -> int:
         # real checkpoint has no tail of this kind).
         base_stat = (base.get("median", base["mean"]) if gt_path
                      else base["mean"]) if base else float("inf")
-        signal = (base is not None and base_stat < args.signal_px
+        bar = args.gt_detector_px if gt_path else args.signal_px
+        signal = (base is not None and base_stat < bar
                   and (base.get("found", 1.0) > 0.5))
         if not signal:
             why = ("baseline single_368 found nothing" if base is None else
                    f"baseline single_368 {'median' if gt_path else 'mean'} "
-                   f"{base_stat:.1f}px > {args.signal_px:g}px sanity bar")
+                   f"{base_stat:.1f}px > {bar:g}px "
+                   + ("detector bound" if gt_path else "sanity bar"))
             print(f"      INSTRUMENT HAS NO SIGNAL: {why}")
 
         def config_go(key: str) -> str:
